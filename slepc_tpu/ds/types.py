@@ -1,0 +1,301 @@
+"""DS — dense projected solvers, one class per problem structure.
+
+The reference's DS tier (src/sys/classes/ds/, ~18k LoC of LAPACK drivers)
+solves the small (ncv x ncv) projected problem each outer iteration:
+HEP/NHEP/GHEP/GHIEP/GNHEP/NHEPTS/SVD/HSVD/GSVD/PEP/NEP.  Here each type is
+a small host-side class over numpy/LAPACK (scipy), executed redundantly by
+every process — bit-identical by construction, which is what the
+reference's DSSynchronize broadcast exists to enforce
+(impls/hep/dshep.c:673-711).
+
+API shape (functional, not the reference's RAW->CONDENSED state machine):
+``solve`` takes the projected data and returns (eigs, transforms);
+reordering takes explicit sort keys from a SortCriterion.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import numpy as np
+import scipy.linalg as sla
+
+from . import schur as _schur
+
+
+class DS:
+    """Base: registry + common helpers."""
+
+    registry = {}
+
+    def __init_subclass__(cls, **kw):
+        super().__init_subclass__(**kw)
+        name = cls.__name__.lower().replace("ds", "", 1)
+        DS.registry[name] = cls
+
+    @staticmethod
+    def create(name: str) -> "DS":
+        return DS.registry[name.lower()]()
+
+
+class DSHEP(DS):
+    """Hermitian eigenproblem: full diagonalization of the projected H.
+
+    Reference: impls/hep/dshep.c (steqr/stedc on tridiagonal+arrow).  The
+    projected matrix from a full-reorth Lanczos/thick-restart is dense
+    symmetric here; eigh is exact and the Schur form is diagonal, so
+    'truncate'/'sort' are column selections.
+    """
+
+    def solve(self, H: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        H = np.asarray(H)
+        w, Q = np.linalg.eigh(0.5 * (H + H.conj().T))
+        return w, Q
+
+    def solve_tridiag(self, alpha: np.ndarray, beta: np.ndarray):
+        """Tridiagonal fast path (steqr analog)."""
+        w, Q = sla.eigh_tridiagonal(alpha, beta)
+        return w, Q
+
+    def sort(self, w, Q, keys):
+        perm = np.argsort(np.asarray(keys), kind="stable")
+        return w[perm], Q[:, perm]
+
+
+class DSNHEP(DS):
+    """Non-Hermitian: Hessenberg -> (real/complex) Schur.
+
+    Reference: impls/nhep/dsnhep.c (gehrd/hseqr/trexc/trevc).
+    """
+
+    def solve(self, H: np.ndarray):
+        return _schur.schur(H)  # (T, Q, eigs)
+
+    def sort(self, T, Q, keys):
+        return _schur.sort_schur(T, Q, keys)
+
+    def vectors(self, T, Q):
+        return _schur.schur_eigvectors(T, Q)  # (eigs, X)
+
+
+class DSNHEPTS(DS):
+    """NHEP with left eigenvectors (two-sided).
+
+    Reference: impls/nhepts/dsnhepts.c.  Right pairs from Schur of A, left
+    from Schur of A^H, matched by eigenvalue.
+    """
+
+    def solve(self, A: np.ndarray):
+        T, Q, eigs = _schur.schur(A)
+        w, X = _schur.schur_eigvectors(T, Q)
+        Tl, Ql, _ = _schur.schur(np.asarray(A).conj().T)
+        wl, Y = _schur.schur_eigvectors(Tl, Ql)
+        # match left vectors to right eigenvalues
+        used = np.zeros(len(wl), bool)
+        Ym = np.zeros_like(Y)
+        for i, lam in enumerate(w):
+            d = np.abs(wl - np.conj(lam)) + np.where(used, np.inf, 0.0)
+            j = int(np.argmin(d))
+            used[j] = True
+            Ym[:, i] = Y[:, j]
+        return w, X, Ym
+
+
+class DSGHEP(DS):
+    """Generalized Hermitian (A, B) with B > 0: sygvd analog."""
+
+    def solve(self, A: np.ndarray, B: np.ndarray):
+        w, X = sla.eigh(0.5 * (A + A.conj().T), 0.5 * (B + B.conj().T))
+        return w, X  # X^H B X = I
+
+
+class DSGHIEP(DS):
+    """Generalized Hermitian-indefinite: T x = lambda Omega x with
+    Omega = diag(+-1) (pseudo-Lanczos projected problem).
+
+    Reference: impls/ghiep/ (HZ/HR iterations).  Functional version: solve
+    the equivalent standard problem Omega T, then Omega-normalize; real
+    eigenvalues come out real, complex pairs are flagged.
+    """
+
+    def solve(self, T: np.ndarray, omega: np.ndarray):
+        T = np.asarray(T)
+        omega = np.asarray(omega).real
+        M = omega[:, None] * T  # Omega T
+        w, X = np.linalg.eig(M)
+        # Omega-normalize: x^H Omega x = +-1 where possible
+        for j in range(X.shape[1]):
+            s = np.real(X[:, j].conj() @ (omega * X[:, j]))
+            if abs(s) > np.finfo(float).eps:
+                X[:, j] /= np.sqrt(abs(s))
+        # real-ify nearly-real eigenpairs
+        if np.all(np.abs(w.imag) <= 1e-12 * (1 + np.abs(w.real))):
+            w = w.real
+            X = X.real if not np.iscomplexobj(T) else X
+        return w, X
+
+
+class DSGNHEP(DS):
+    """Generalized non-Hermitian via QZ (gges/tgexc analog)."""
+
+    def solve(self, A: np.ndarray, B: np.ndarray,
+              keys_fn: Optional[Callable] = None):
+        if keys_fn is None:
+            keys_fn = lambda ev: -np.abs(ev)
+        S, T, Q, Z, eigs = _schur.ordered_qz(np.asarray(A), np.asarray(B), keys_fn)
+        return S, T, Q, Z, eigs
+
+    def vectors(self, S, T, Q, Z):
+        """Right eigenvectors of (A,B) from QZ: X = Z Y."""
+        lam, Y = sla.eig(S, T)
+        X = Z @ Y
+        nrm = np.linalg.norm(X, axis=0)
+        nrm[nrm == 0] = 1
+        return lam, X / nrm
+
+
+class DSSVD(DS):
+    """(Bi)diagonal/dense SVD of the projected matrix (gesdd analog)."""
+
+    def solve(self, Bmat: np.ndarray):
+        U, s, Vh = np.linalg.svd(np.asarray(Bmat), full_matrices=False)
+        return U, s, Vh
+
+    def solve_bidiag(self, alpha: np.ndarray, beta: np.ndarray):
+        """Upper-bidiagonal [alpha; superdiag beta] SVD."""
+        m = len(alpha)
+        B = np.diag(alpha).astype(float)
+        for i in range(m - 1):
+            B[i, i + 1] = beta[i]
+        return self.solve(B)
+
+
+class DSHSVD(DS):
+    """Hyperbolic SVD: A = U Sigma V^H with U^H Omega U = Omega-hat.
+
+    Reference: impls/hsvd/dshsvd.c.  Functional route: eigendecompose
+    A^H Omega A (Hermitian, possibly indefinite); sigma = sqrt|lambda|,
+    signature from sign(lambda).
+    """
+
+    def solve(self, A: np.ndarray, omega: np.ndarray):
+        A = np.asarray(A)
+        omega = np.asarray(omega).real
+        M = A.conj().T @ (omega[:, None] * A)
+        lam, V = np.linalg.eigh(0.5 * (M + M.conj().T))
+        # descending by |lambda|
+        order = np.argsort(-np.abs(lam), kind="stable")
+        lam, V = lam[order], V[:, order]
+        sigma = np.sqrt(np.abs(lam))
+        signs = np.where(lam >= 0, 1.0, -1.0)
+        U = np.zeros((A.shape[0], len(sigma)), dtype=A.dtype)
+        for j in range(len(sigma)):
+            if sigma[j] > 1e-300:
+                U[:, j] = A @ V[:, j] / (signs[j] * sigma[j])
+        return U, sigma, V.conj().T, signs
+
+
+class DSGSVD(DS):
+    """Generalized SVD of the pair (A, B): A = U C X^-1, B = V S X^-1.
+
+    Reference: impls/gsvd/dsgsvd.c (ggsvd-style).  Functional route via the
+    eigen-pencil (A^H A, B^H B) — adequate for the projected sizes used by
+    the TRLanczos GSVD driver.
+    """
+
+    def solve(self, A: np.ndarray, B: np.ndarray):
+        A, B = np.asarray(A), np.asarray(B)
+        GA = A.conj().T @ A
+        GB = B.conj().T @ B
+        # regularize B-gram for the pencil solve
+        lam, X = sla.eigh(0.5 * (GA + GA.conj().T),
+                          0.5 * (GB + GB.conj().T) + 1e-14 * np.eye(GB.shape[0]))
+        order = np.argsort(-lam, kind="stable")
+        lam, X = lam[order], X[:, order]
+        sigma = np.sqrt(np.maximum(lam, 0.0))  # sigma = c/s
+        U = A @ X
+        V = B @ X
+        for M in (U, V):
+            nrm = np.linalg.norm(M, axis=0)
+            nrm[nrm == 0] = 1
+            M /= nrm
+        return U, sigma, V, X
+
+
+class DSPEP(DS):
+    """Polynomial eigenproblem P(lambda) = sum_i lambda^i E_i on the
+    projected matrices — solved on the companion linearization
+    (reference: impls/pep/dspep.c, QZ on the d*ld linearization)."""
+
+    def solve(self, coeffs: Sequence[np.ndarray]):
+        coeffs = [np.asarray(c) for c in coeffs]
+        d = len(coeffs) - 1
+        k = coeffs[0].shape[0]
+        dt = np.result_type(*[c.dtype for c in coeffs])
+        # companion pencil (A0 + lambda B0) of size d*k
+        A = np.zeros((d * k, d * k), dtype=dt)
+        B = np.eye(d * k, dtype=dt)
+        for i in range(d - 1):
+            A[i * k : (i + 1) * k, (i + 1) * k : (i + 2) * k] = np.eye(k)
+        for i in range(d):
+            A[(d - 1) * k :, i * k : (i + 1) * k] = -coeffs[i]
+        B[(d - 1) * k :, (d - 1) * k :] = coeffs[d]
+        lam, X = sla.eig(A, B)
+        # eigenvectors of P: leading k block, normalized
+        Xp = X[:k, :]
+        nrm = np.linalg.norm(Xp, axis=0)
+        nrm[nrm == 0] = 1
+        return lam, Xp / nrm
+
+
+class DSNEP(DS):
+    """Projected nonlinear eigenproblem T(lambda) y = 0.
+
+    Reference: impls/nep/dsnep.c (contour-integral / successive linear
+    inner solves on the projected split form).  ``solve`` takes a callable
+    evaluating the projected T(lambda) (k x k) and a contour/region, and
+    runs a Beyn-style contour integral on the dense projected problem.
+    """
+
+    def solve_contour(self, Tfun: Callable[[complex], np.ndarray], center: complex,
+                      radius: float, npoints: int = 32, rank_tol: float = 1e-12):
+        k = Tfun(center).shape[0]
+        rng = np.random.default_rng(0)
+        Vrand = rng.standard_normal((k, k)) + 1j * rng.standard_normal((k, k))
+        A0 = np.zeros((k, k), dtype=complex)
+        A1 = np.zeros((k, k), dtype=complex)
+        for j in range(npoints):
+            theta = 2 * np.pi * j / npoints
+            z = center + radius * np.exp(1j * theta)
+            w = radius * np.exp(1j * theta) / npoints  # dz/(2*pi*i) weight
+            Tz = np.linalg.solve(Tfun(z), Vrand)
+            A0 += w * Tz
+            A1 += w * z * Tz
+        U, s, Vh = np.linalg.svd(A0)
+        r = int(np.sum(s > rank_tol * max(s[0], 1e-300)))
+        if r == 0:
+            return np.array([]), np.zeros((k, 0), dtype=complex)
+        U1, s1, V1h = U[:, :r], s[:r], Vh[:r, :]
+        Bm = U1.conj().T @ A1 @ V1h.conj().T @ np.diag(1.0 / s1)
+        lam, Y = np.linalg.eig(Bm)
+        X = U1 @ Y
+        nrm = np.linalg.norm(X, axis=0)
+        nrm[nrm == 0] = 1
+        return lam, X / nrm
+
+    def solve_slp(self, Tfun: Callable, Jfun: Callable, lam0: complex,
+                  maxit: int = 50, tol: float = 1e-12):
+        """Successive-linear-problems on the projected dense problem."""
+        lam = lam0
+        k = Tfun(lam0).shape[0]
+        x = np.ones(k) / np.sqrt(k)
+        for _ in range(maxit):
+            T = Tfun(lam)
+            J = Jfun(lam)
+            mu, X = sla.eig(T, J)
+            j = int(np.argmin(np.abs(mu)))
+            lam = lam - mu[j]
+            x = X[:, j] / np.linalg.norm(X[:, j])
+            if abs(mu[j]) < tol * max(abs(lam), 1.0):
+                break
+        return lam, x

@@ -1,0 +1,389 @@
+"""EPS — linear eigenproblem solver front-end.
+
+Reference: src/eps/interface/ (epsbasic.c, epssetup.c, epssolve.c,
+epsdefault.c, epsopts.c).  The EPS object owns the problem definition
+(operators, problem type, which/target/interval, dimensions nev/ncv/mpd,
+tolerances), its child objects (ST, BV, DS-equivalents, RG), monitors, and
+the solve-state (nconv, eigenvalues, basis).  Algorithms are pluggable
+solver classes dispatched by name — the functional analog of the _EPSOps
+function-pointer table (include/slepc/private/epsimpl.h:26-39).
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Callable, Dict, List, Optional, Type
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..bv.bv import BV
+from ..mat.linop import LinearOperator
+from ..rg.rg import RG
+from ..st.st import ST, STShift, STSinvert
+from ..sys.monitor import Monitor
+from ..sys.options import Options, get_global_options
+from ..sys.sort import SortCriterion, Which
+
+
+class ProblemType(enum.Enum):
+    HEP = "hep"  # Hermitian
+    GHEP = "ghep"  # generalized Hermitian, B > 0
+    NHEP = "nhep"  # non-Hermitian
+    GNHEP = "gnhep"  # generalized non-Hermitian
+    PGNHEP = "pgnhep"  # gen. non-Hermitian with positive-definite B
+    GHIEP = "ghiep"  # gen. Hermitian-indefinite
+    BSE = "bse"  # structured Bethe-Salpeter
+
+
+class EPSConvergedReason(enum.IntEnum):
+    CONVERGED_TOL = 1
+    CONVERGED_USER = 2
+    DIVERGED_ITS = -1
+    DIVERGED_BREAKDOWN = -2
+    DIVERGED_SYMMETRY_LOST = -3
+    ITERATING = 0
+
+
+class EPSError(RuntimeError):
+    pass
+
+
+_DEFAULT_TOL = {np.dtype(np.float64): 1e-8, np.dtype(np.float32): 1e-5,
+                np.dtype(np.complex128): 1e-8, np.dtype(np.complex64): 1e-5}
+
+
+class EPS:
+    """Linear eigensolver: A x = lambda x or A x = lambda B x."""
+
+    _solvers: Dict[str, Type["EPSSolver"]] = {}
+
+    @classmethod
+    def register(cls, name: str, solver: Type["EPSSolver"]) -> None:
+        cls._solvers[name] = solver
+
+    def __init__(self, A: Optional[LinearOperator] = None,
+                 B: Optional[LinearOperator] = None, *,
+                 problem_type: Optional[str | ProblemType] = None,
+                 which: str | Which = Which.LARGEST_MAGNITUDE,
+                 nev: int = 1, ncv: Optional[int] = None, mpd: Optional[int] = None,
+                 tol: Optional[float] = None, max_it: Optional[int] = None,
+                 solver: str = "krylovschur", target: Optional[complex] = None,
+                 interval: Optional[tuple] = None,
+                 options: Optional[Options] = None, prefix: str = "eps_"):
+        self.A = A
+        self.B = B
+        self.problem_type = ProblemType(problem_type) if problem_type else None
+        self.which = Which(which) if not isinstance(which, Which) else which
+        self.nev = nev
+        self.ncv = ncv
+        self.mpd = mpd
+        self.tol = tol
+        self.max_it = max_it
+        self.solver_name = solver
+        self.target = target
+        self.interval = interval
+        self.st: Optional[ST] = None
+        self.rg: Optional[RG] = None
+        self.bv: Optional[BV] = None
+        self.monitor = Monitor()
+        self.stopping: Optional[Callable] = None
+        self.conv_test = "rel"  # rel | abs | norm (EPSSetConvergenceTest)
+        self.purify = True
+        self.balance = None
+        self.initial_space: Optional[np.ndarray] = None
+        self.deflation_space: Optional[np.ndarray] = None
+        self.true_residual = False
+        self.arbitrary: Optional[Callable] = None
+        self.two_sided = False
+        # solve state
+        self.nconv = 0
+        self.its = 0
+        self.reason = EPSConvergedReason.ITERATING
+        self.eigenvalues: np.ndarray = np.array([])
+        self.errests: np.ndarray = np.array([])
+        self._eigenvectors: Optional[np.ndarray] = None
+        self._left_eigenvectors: Optional[np.ndarray] = None
+        self.V: Optional[BV] = None
+        self.W: Optional[BV] = None  # left basis (two-sided)
+        # options database
+        opts = options if options is not None else get_global_options()
+        self.options = opts.child(prefix) if opts.prefix == "" else opts
+        self._apply_options()
+        self._setup_done = False
+
+    # -- configuration ----------------------------------------------------
+    def _apply_options(self):
+        o = self.options
+        self.nev = int(o.get("nev", self.nev))
+        if "ncv" in o:
+            self.ncv = int(o["ncv"])
+        if "mpd" in o:
+            self.mpd = int(o["mpd"])
+        if "tol" in o:
+            self.tol = float(o["tol"])
+        if "max_it" in o:
+            self.max_it = int(o["max_it"])
+        if "type" in o:
+            self.solver_name = str(o["type"])
+        if "target" in o:
+            self.target = complex(o["target"])
+            self.which = Which.TARGET_MAGNITUDE
+        for w in Which:
+            if f"{w.value}" == o.get("which"):
+                self.which = w
+        for pt in ProblemType:
+            if o.get(pt.value, False) is True:
+                self.problem_type = pt
+
+    def set_operators(self, A: LinearOperator, B: Optional[LinearOperator] = None):
+        self.A = A
+        self.B = B
+        self._setup_done = False
+        return self
+
+    def set_problem_type(self, pt: str | ProblemType):
+        self.problem_type = ProblemType(pt) if isinstance(pt, str) else pt
+        return self
+
+    def set_type(self, name: str):
+        self.solver_name = name
+        return self
+
+    def set_which(self, which: str | Which, target: Optional[complex] = None):
+        self.which = Which(which) if isinstance(which, str) else which
+        if target is not None:
+            self.target = target
+        return self
+
+    def set_target(self, target: complex):
+        self.target = target
+        if self.which not in (Which.TARGET_MAGNITUDE, Which.TARGET_REAL,
+                              Which.TARGET_IMAGINARY):
+            self.which = Which.TARGET_MAGNITUDE
+        return self
+
+    def set_interval(self, a: float, b: float):
+        self.interval = (a, b)
+        self.which = Which.ALL
+        return self
+
+    def set_dimensions(self, nev: Optional[int] = None, ncv: Optional[int] = None,
+                       mpd: Optional[int] = None):
+        if nev is not None:
+            self.nev = nev
+        if ncv is not None:
+            self.ncv = ncv
+        if mpd is not None:
+            self.mpd = mpd
+        return self
+
+    def set_tolerances(self, tol: Optional[float] = None, max_it: Optional[int] = None):
+        if tol is not None:
+            self.tol = tol
+        if max_it is not None:
+            self.max_it = max_it
+        return self
+
+    def set_st(self, st: ST):
+        self.st = st
+        return self
+
+    def set_rg(self, rg: RG):
+        self.rg = rg
+        return self
+
+    def set_initial_space(self, X):
+        self.initial_space = np.asarray(X)
+        if self.initial_space.ndim == 1:
+            self.initial_space = self.initial_space[:, None]
+        return self
+
+    def set_deflation_space(self, X):
+        self.deflation_space = np.asarray(X)
+        if self.deflation_space.ndim == 1:
+            self.deflation_space = self.deflation_space[:, None]
+        return self
+
+    def set_convergence_test(self, name: str):
+        assert name in ("rel", "abs", "norm")
+        self.conv_test = name
+        return self
+
+    def set_monitor(self, fn):
+        self.monitor.add(fn)
+        return self
+
+    def set_two_sided(self, flg: bool = True):
+        self.two_sided = flg
+        return self
+
+    # -- derived defaults --------------------------------------------------
+    @property
+    def n(self) -> int:
+        return self.A.shape[0]
+
+    @property
+    def is_hermitian(self) -> bool:
+        return self.problem_type in (ProblemType.HEP, ProblemType.GHEP,
+                                     ProblemType.BSE)
+
+    @property
+    def is_generalized(self) -> bool:
+        return self.B is not None
+
+    def _default_dims(self):
+        """ncv = min(n, max(2 nev, nev+15)), mpd cap for large nev
+        (reference: EPSSetDimensions_Default, epssetup.c:654-678)."""
+        n, nev = self.n, self.nev
+        if self.ncv is None:
+            if self.mpd is not None:
+                self.ncv = min(n, nev + self.mpd)
+            elif nev < 500:
+                self.ncv = min(n, max(2 * nev, nev + 15))
+            else:
+                self.mpd = 500
+                self.ncv = min(n, nev + self.mpd)
+        if self.mpd is None:
+            self.mpd = self.ncv
+        self.ncv = max(self.ncv, self.nev + 1) if self.ncv < n else self.ncv
+        self.ncv = min(self.ncv, n)
+        self.mpd = min(self.mpd, self.ncv)
+
+    def _default_tol(self):
+        if self.tol is None:
+            self.tol = _DEFAULT_TOL.get(np.dtype(self.A.dtype), 1e-8)
+        if self.max_it is None:
+            self.max_it = max(100, 2 * self.n // max(self.ncv, 1))
+
+    def _default_st(self):
+        if self.st is None:
+            hermitian = self.problem_type in (
+                ProblemType.HEP, ProblemType.GHEP)
+            if self.target is not None or self.interval is not None:
+                sigma = self.target if self.target is not None else (
+                    self.interval[0] if self.interval else 0.0)
+                mats = [self.A] if self.B is None else [self.A, self.B]
+                self.st = STSinvert(mats, sigma=sigma, hermitian=hermitian)
+            else:
+                mats = [self.A] if self.B is None else [self.A, self.B]
+                self.st = STShift(mats, sigma=0.0)
+
+    def _infer_problem_type(self):
+        if self.problem_type is None:
+            # conservative default, as the reference requires the user to
+            # declare Hermitian structure (EPSSetProblemType)
+            self.problem_type = (ProblemType.GNHEP if self.is_generalized
+                                 else ProblemType.NHEP)
+
+    def sort_criterion(self) -> SortCriterion:
+        """Sorting happens in the *transformed* spectrum, like the
+        reference routing SlepcSCCompare through the ST map."""
+        return SortCriterion(which=self.which,
+                             target=self.target if self.target is not None else 0.0)
+
+    # -- solve -------------------------------------------------------------
+    def setup(self):
+        if self.A is None:
+            raise EPSError("operators not set")
+        self._infer_problem_type()
+        self._default_dims()
+        self._default_tol()
+        self._default_st()
+        self._setup_done = True
+        return self
+
+    def solve(self):
+        """Run the configured solver (reference: EPSSolve, epssolve.c:119)."""
+        if not self._setup_done:
+            self.setup()
+        cls = self._solvers.get(self.solver_name)
+        if cls is None:
+            raise EPSError(
+                f"unknown EPS solver {self.solver_name!r}; "
+                f"available: {sorted(self._solvers)}")
+        self.its = 0
+        self.nconv = 0
+        self.reason = EPSConvergedReason.ITERATING
+        solver = cls()
+        solver.solve(self)
+        if self.reason == EPSConvergedReason.ITERATING:
+            self.reason = (EPSConvergedReason.CONVERGED_TOL
+                           if self.nconv >= self.nev else EPSConvergedReason.DIVERGED_ITS)
+        # best-first ordering of converged pairs
+        if self.nconv > 1 and self._eigenvectors is not None:
+            sc = SortCriterion(self.which, self.target or 0.0)
+            perm = sc.argsort(self.eigenvalues[: self.nconv])
+            self.eigenvalues[: self.nconv] = self.eigenvalues[perm]
+            self.errests[: self.nconv] = self.errests[perm]
+            self._eigenvectors = self._eigenvectors[:, perm]
+            if self._left_eigenvectors is not None:
+                self._left_eigenvectors = self._left_eigenvectors[:, perm]
+        return self
+
+    # -- results -----------------------------------------------------------
+    def get_converged(self) -> int:
+        return self.nconv
+
+    def get_eigenvalue(self, i: int):
+        if i >= self.nconv:
+            raise EPSError(f"only {self.nconv} converged pairs")
+        return self.eigenvalues[i]
+
+    def get_eigenpair(self, i: int):
+        lam = self.get_eigenvalue(i)
+        x = None if self._eigenvectors is None else self._eigenvectors[:, i]
+        return lam, x
+
+    def get_left_eigenvector(self, i: int):
+        if self._left_eigenvectors is None:
+            raise EPSError("no left eigenvectors (enable two_sided)")
+        return self._left_eigenvectors[:, i]
+
+    def get_eigenvectors(self) -> np.ndarray:
+        return self._eigenvectors[:, : self.nconv]
+
+    def get_error_estimate(self, i: int) -> float:
+        return float(self.errests[i])
+
+    def compute_error(self, i: int, error_type: str = "relative") -> float:
+        """Explicit residual ||A x - lambda B x|| (/|lambda| if relative)
+        (reference: EPSComputeError)."""
+        lam, x = self.get_eigenpair(i)
+        x = jnp.asarray(x)
+        r = self.A.mult(x)
+        bx = self.B.mult(x) if self.B is not None else x
+        r = r - lam * bx
+        res = float(jnp.linalg.norm(r)) / max(float(jnp.linalg.norm(x)), 1e-300)
+        if error_type == "relative":
+            return res / max(abs(lam), 1e-300)
+        return res
+
+    def error_view(self):
+        lines = [f"nconv={self.nconv} reason={self.reason.name} its={self.its}"]
+        for i in range(self.nconv):
+            lam = self.eigenvalues[i]
+            lines.append(f"  lambda[{i}] = {lam:.9g}  rel.err = {self.compute_error(i):.3e}")
+        s = "\n".join(lines)
+        print(s)
+        return s
+
+    # -- shared convergence machinery ---------------------------------------
+    def conv_measure(self, theta: complex, res: float) -> float:
+        """Error measure per convergence-test setting (reference:
+        EPSConvergedRelative/Absolute/Norm, epsdefault.c:224-287)."""
+        if self.conv_test == "abs":
+            return res
+        if self.conv_test == "norm":
+            nrm = getattr(self, "_op_norm", None)
+            if nrm is None:
+                nrm = abs(theta)
+            return res / max(abs(theta) + nrm, 1e-300)
+        return res / max(abs(theta), 1e-300)
+
+
+class EPSSolver:
+    """Base class for EPS algorithm implementations."""
+
+    def solve(self, eps: EPS) -> None:
+        raise NotImplementedError

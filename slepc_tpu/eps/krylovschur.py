@@ -1,0 +1,315 @@
+"""EPS Krylov–Schur — the default solver.
+
+Reference: src/eps/impls/krylov/krylovschur/krylovschur.c (main loop
+:227-337): thick-restart Arnoldi/Lanczos with Schur-form restarts, keep
+fraction 0.5, locking.  Variants dispatched at setup in the reference
+(:100-192): DEFAULT (non-Hermitian), SYMM (Hermitian thick-restart
+Lanczos), INDEF (pseudo-Lanczos, GHIEP), FILTER, SLICE, TWOSIDED — here
+DEFAULT/SYMM/INDEF/FILTER are one parameterized loop; SLICE lives in
+ks_slice.py, TWOSIDED in ks_twosided.py.
+
+TPU mapping of one outer iteration:
+  basis extension  -> one jitted lax.fori_loop (SpMV + fused-reduction CGS2
+                      per column; slepc_tpu.bv.krylov.arnoldi_extend)
+  projected solve  -> host dense LAPACK on the (m-k) x (m-k) active block,
+                      replicated (DS tier)
+  restart          -> one device GEMM V[:, k:m] @ Q_kept (BVMultInPlace
+                      analog)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..bv.bv import BV
+from ..bv.krylov import arnoldi_extend
+from ..ds.schur import schur, schur_eigvectors, sort_schur
+from ..mat.linop import LinearOperator
+from ..st.filter import STFilter
+from ..sys.sort import SortCriterion
+from .base import EPS, EPSConvergedReason, EPSSolver, ProblemType
+
+
+class KrylovSchur(EPSSolver):
+    """Krylov-Schur with locking; HEP/NHEP/GHEP/GHIEP + filter variants."""
+
+    keep = 0.5  # restart kept fraction (reference krylovschur.c:122)
+
+    def solve(self, eps: EPS) -> None:
+        st = eps.st
+        op = st.op()
+        n, ncv, nev, mpd = eps.n, eps.ncv, eps.nev, eps.mpd
+        hermitian = eps.is_hermitian and not getattr(st, "requires_rayleigh", False)
+        # use the Hermitian fast path also for filtered runs (A Hermitian)
+        if isinstance(st, STFilter):
+            hermitian = eps.is_hermitian
+        indefinite = eps.problem_type == ProblemType.GHIEP
+        dtype = np.dtype(eps.A.dtype)
+        cplx = np.issubdtype(dtype, np.complexfloating)
+
+        # B-inner product: GHEP solvers run B-orthogonal Krylov bases
+        Bip: Optional[LinearOperator] = None
+        if eps.problem_type in (ProblemType.GHEP, ProblemType.GHIEP) and eps.B is not None:
+            Bip = eps.B
+
+        # ---- basis setup (EPSAllocateSolution analog) ----
+        V = BV(n, ncv + 1, dtype)
+        if Bip is not None:
+            V.set_matrix(Bip, indef=indefinite)
+        nc = 0
+        if eps.deflation_space is not None:
+            nc = V.insert_constraints(jnp.asarray(eps.deflation_space, dtype=dtype))
+        if eps.initial_space is not None:
+            v0 = jnp.asarray(eps.initial_space[:, 0], dtype=dtype)
+        else:
+            rng = np.random.default_rng(0)
+            v0 = jnp.asarray(rng.standard_normal(n), dtype=dtype) if not cplx else \
+                jnp.asarray(rng.standard_normal(n) + 1j * rng.standard_normal(n), dtype=dtype)
+        V.set_column(0, v0)
+        V.orthonormalize_column(0, replace_lindep=True)
+
+        H = jnp.zeros((ncv + 1, ncv), dtype=dtype)
+        omega = None
+        if indefinite:
+            omega = jnp.ones(ncv + 1 + nc, dtype=jnp.float64)
+
+        sc = eps.sort_criterion()
+        k = 0  # nconv (locked)
+        l = 0  # kept from previous restart
+        eigs_locked = np.zeros(ncv, dtype=complex)
+        err_locked = np.zeros(ncv)
+        Tlock = np.zeros((ncv, ncv), dtype=complex if cplx else float)  # locked Schur block
+        omega_locked = np.ones(ncv)
+        breakdown_ct = 0
+
+        while eps.its < eps.max_it:
+            eps.its += 1
+            nv = min(k + mpd, ncv)
+
+            # ---- extension: jitted hot loop ----
+            V.array, H, beta_j, brk, omega = arnoldi_extend(
+                op, V.array, H, k + l, nv, nc=nc, Bop=Bip, omega=omega,
+                key=None)
+            beta = float(beta_j)
+            if bool(brk):
+                breakdown_ct += 1
+                if breakdown_ct > 10:
+                    eps.reason = EPSConvergedReason.DIVERGED_BREAKDOWN
+                    break
+
+            Hh = np.asarray(H)
+            S = Hh[k:nv, k:nv]
+
+            # ---- projected solve (DS tier, host) ----
+            if hermitian and not indefinite:
+                Ssym = 0.5 * (S + S.conj().T)
+                theta, Q = np.linalg.eigh(Ssym)
+                theta = theta.astype(complex)
+                Tproj = None
+            elif indefinite:
+                from ..ds.types import DSGHIEP
+
+                om_act = np.asarray(omega)[nc + k: nc + nv]
+                theta, Q = DSGHIEP().solve(0.5 * (S + S.conj().T) * 1.0, om_act)
+                theta = theta.astype(complex)
+                Tproj = None
+            else:
+                Tproj, Q, theta = schur(S)
+
+            # ---- sort wanted-first (keys on back-transformed values) ----
+            lam_approx = st.back_transform(theta)
+            keys = sc.keys(lam_approx)
+            if Tproj is None:
+                order = np.argsort(keys, kind="stable")
+                theta = theta[order]
+                Q = Q[:, order]
+            else:
+                if not cplx:
+                    keys = _pair_keys(Tproj, keys)
+                Tproj, Q, theta = sort_schur(Tproj, Q, keys)
+            lam_approx = st.back_transform(theta)
+
+            # ---- convergence count (EPSKrylovConvergence analog) ----
+            na = nv - k  # active size
+            last = Q[na - 1, :] if Q.shape[0] == na else Q[-1, :]
+            resid = beta * np.abs(last)
+            if Tproj is not None and not cplx:
+                # complex pairs share the 2-norm of the last row over the pair
+                i = 0
+                while i < na:
+                    if i + 1 < na and Tproj[i + 1, i] != 0.0:
+                        r = np.hypot(resid[i], resid[i + 1])
+                        resid[i] = resid[i + 1] = r
+                        i += 2
+                    else:
+                        i += 1
+            errest = np.array([eps.conv_measure(theta[i], resid[i]) for i in range(na)])
+            if eps.rg is not None:
+                outside = eps.rg.check_inside(lam_approx) < 0
+                errest = np.where(outside, np.inf, errest)
+
+            k2 = k
+            while k2 < nv and errest[k2 - k] < eps.tol:
+                k2 += 1
+            if Tproj is not None and not cplx:
+                # don't split a conjugate pair at the lock boundary
+                d = k2 - k
+                if 0 < d < na and Tproj[d, d - 1] != 0.0:
+                    k2 -= 1
+
+            # ---- monitors ----
+            all_eigs = np.concatenate([eigs_locked[:k], lam_approx])
+            all_err = np.concatenate([err_locked[:k], errest])
+            eps.nconv = k2
+            eps.monitor(eps, eps.its, k2, all_eigs, all_err)
+
+            # ---- stopping (EPSStoppingBasic) ----
+            done = k2 >= nev or eps.its >= eps.max_it
+            if eps.stopping is not None:
+                done = eps.stopping(eps, eps.its, k2, nev) or done
+
+            # ---- restart size (keep fraction, reference :294) ----
+            if done:
+                l = 0
+            else:
+                l = max(1, int(self.keep * (nv - k2)))
+                l = min(l, max(nv - k2 - 1, 0))
+                if Tproj is not None and not cplx and l > 0:
+                    d = k2 - k + l
+                    if d < na and Tproj[d, d - 1] != 0.0:
+                        l += 1 if d + 1 < na else -1
+
+            kl = (k2 - k) + l  # kept columns of Q
+
+            # ---- lock bookkeeping ----
+            for i in range(k2 - k):
+                eigs_locked[k + i] = lam_approx[i]
+                err_locked[k + i] = errest[i]
+            if Tproj is not None:
+                Tlock[k:k2, k:k2] = Tproj[: k2 - k, : k2 - k]
+                Tlock[:k, k:k2] = 0.0  # locked coupling dropped (below tol)
+            else:
+                for i in range(k2 - k):
+                    Tlock[k + i, k + i] = (theta[i] if np.iscomplexobj(Tlock)
+                                           else theta[i].real)
+            if indefinite:
+                om_act = np.asarray(omega)[nc + k: nc + nv]
+                # signature of kept columns: sign of Q^H Omega Q diag
+                sig = np.real(np.einsum("ij,i,ij->j", Q.conj(), om_act, Q))
+                omega_locked[k:k2] = np.sign(sig[: k2 - k])
+
+            if kl > 0:
+                # ---- rotate basis: V[:, k:k+kl] = V[:, k:nv] @ Q[:, :kl] ----
+                Qk = jnp.asarray(Q[:, :kl], dtype=dtype if not np.iscomplexobj(Q) else None)
+                Vact = V.array[:, nc + k: nc + nv]
+                if np.iscomplexobj(Q) and not cplx:
+                    # real dtype but complex rotation can't happen: sort_schur
+                    # keeps real Schur form, Q stays real
+                    raise AssertionError("real Schur rotation must be real")
+                Vnew = Vact @ Qk
+                V.array = V.array.at[:, nc + k: nc + k + kl].set(Vnew)
+
+                # ---- update H: locked diag + kept block + arrow row ----
+                Hh2 = np.zeros_like(Hh)
+                Hh2[:nv + 1, :nv] = 0.0
+                # locked part
+                if cplx or Tproj is None:
+                    Hh2[:k2, :k2] = Tlock[:k2, :k2].astype(Hh2.dtype)
+                else:
+                    Hh2[:k2, :k2] = Tlock[:k2, :k2].real.astype(Hh2.dtype)
+                if not done and l > 0:
+                    if Tproj is None:
+                        for i in range(l):
+                            Hh2[k2 + i, k2 + i] = theta[k2 - k + i].real
+                    else:
+                        blk = Tproj[k2 - k: k2 - k + l, k2 - k: k2 - k + l]
+                        Hh2[k2: k2 + l, k2: k2 + l] = blk.real if not cplx else blk
+                        coup = Tproj[: k2 - k, k2 - k: k2 - k + l]
+                        Hh2[k: k2, k2: k2 + l] = coup.real if not cplx else coup
+                    # arrow row: residual coupling of kept vectors
+                    arrow = beta * last[k2 - k: k2 - k + l]
+                    Hh2[k2 + l, k2: k2 + l] = arrow.real if not cplx else arrow
+                H = jnp.asarray(Hh2, dtype=dtype)
+
+                # ---- move residual vector to column k2 + l ----
+                if not done:
+                    vres = V.array[:, nc + nv]
+                    V.array = V.array.at[:, nc + k2 + l].set(vres)
+                    if indefinite:
+                        om = np.asarray(omega)
+                        om2 = om.copy()
+                        om2[nc + k: nc + k2] = omega_locked[k:k2]
+                        om2[nc + k2 + l] = om[nc + nv]
+                        # kept columns' signature
+                        om2[nc + k2: nc + k2 + l] = np.sign(sig[k2 - k: k2 - k + l])
+                        omega = jnp.asarray(om2)
+            k = k2
+            if done:
+                break
+
+        # ---- finalize (EPSComputeValues / back-transform / vectors) ----
+        eps.nconv = k
+        eps.V = V
+        theta_l = np.array([Tlock[i, i] for i in range(k)], dtype=complex)
+        Vl = np.asarray(V.array[:, nc: nc + k])
+
+        if hermitian or indefinite or k == 0:
+            X = Vl.astype(complex) if np.iscomplexobj(theta_l) and not cplx else Vl
+            lam = st.back_transform(theta_l)
+        else:
+            # eigenvectors from locked Schur block
+            Tb = Tlock[:k, :k]
+            w, Y = np.linalg.eig(Tb) if k else (np.zeros(0), np.zeros((0, 0)))
+            # keep locked order: match each locked theta to an eig of Tb
+            lam = st.back_transform(w)
+            X = Vl @ Y
+            nrm = np.linalg.norm(X, axis=0)
+            nrm[nrm == 0] = 1
+            X = X / nrm
+        if getattr(st, "requires_rayleigh", False) and k > 0:
+            # filtered run: recover Rayleigh quotients on the original A
+            lam = _rayleigh_values(eps, X)
+            order = np.argsort(lam.real)
+            lam = lam[order]
+            X = X[:, order]
+            err_locked[:k] = err_locked[:k][order]
+
+        eps.eigenvalues = np.asarray(lam)
+        eps.errests = err_locked[:k].copy()
+        eps._eigenvectors = np.asarray(X)
+        if eps.eigenvalues.size and np.all(np.abs(eps.eigenvalues.imag) < 1e-14):
+            if hermitian:
+                eps.eigenvalues = eps.eigenvalues.real
+
+
+def _pair_keys(T: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Equalize sort keys within 2x2 blocks so pairs move together."""
+    keys = keys.copy()
+    i = 0
+    n = T.shape[0]
+    while i < n:
+        if i + 1 < n and T[i + 1, i] != 0.0:
+            kk = min(keys[i], keys[i + 1])
+            keys[i] = keys[i + 1] = kk
+            i += 2
+        else:
+            i += 1
+    return keys
+
+
+def _rayleigh_values(eps: EPS, X: np.ndarray) -> np.ndarray:
+    Xj = jnp.asarray(X)
+    AX = eps.A.mult(Xj)
+    num = np.asarray(jnp.sum(Xj.conj() * AX, axis=0))
+    if eps.B is not None:
+        BX = eps.B.mult(Xj)
+        den = np.asarray(jnp.sum(Xj.conj() * BX, axis=0))
+    else:
+        den = np.asarray(jnp.sum(jnp.abs(Xj) ** 2, axis=0))
+    return num / den
+
+
+EPS.register("krylovschur", KrylovSchur)

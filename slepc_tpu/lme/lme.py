@@ -1,0 +1,149 @@
+"""LME — linear matrix equations with low-rank right-hand sides.
+
+Reference: src/lme/ — A X + X A^T + C = 0 (Lyapunov; also Sylvester /
+Stein / gen. Lyapunov enums, include/slepclme.h:52-57) with C = -C1 C1^T
+low rank, solved by Krylov projection with compressed factors
+(impls/krylov/lmekrylov.c:48-205) and dense Lyapunov kernels
+(interface/lmedense.c — here scipy solve_lyapunov/solve_sylvester).
+
+The result is returned factored: X ≈ Z Z^H (Lyapunov) with Z = V L.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg as sla
+
+from ..bv.bv import BV
+from ..bv.krylov import arnoldi_extend
+from ..mat.linop import LinearOperator
+
+
+class LMEProblemType(enum.Enum):
+    LYAPUNOV = "lyapunov"  # A X + X A^T + C C^H = 0
+    SYLVESTER = "sylvester"  # A X + X B + C = 0
+    STEIN = "stein"  # A X A^T - X + C = 0
+
+
+class LME:
+    """Krylov projection solver for low-rank matrix equations."""
+
+    def __init__(self, A: Optional[LinearOperator] = None, *,
+                 B: Optional[LinearOperator] = None,
+                 problem_type: str | LMEProblemType = LMEProblemType.LYAPUNOV,
+                 ncv: int = 30, tol: Optional[float] = None, max_it: int = 100):
+        self.A = A
+        self.B = B
+        self.problem_type = (LMEProblemType(problem_type)
+                             if isinstance(problem_type, str) else problem_type)
+        self.ncv = ncv
+        self.tol = tol
+        self.max_it = max_it
+        self.its = 0
+        self.errest = np.inf
+
+    def set_coefficients(self, A: LinearOperator, B: Optional[LinearOperator] = None):
+        self.A = A
+        self.B = B
+        return self
+
+    def set_dimensions(self, ncv: int):
+        self.ncv = ncv
+        return self
+
+    def set_tolerances(self, tol=None, max_it=None):
+        if tol is not None:
+            self.tol = tol
+        if max_it is not None:
+            self.max_it = max_it
+        return self
+
+    def solve(self, C1: np.ndarray) -> np.ndarray:
+        """Solve A X + X A^T + C1 C1^H = 0; returns Z with X ≈ Z Z^H
+        (reference LMESolve with low-rank rhs/solution).
+
+        Krylov projection: build an Arnoldi basis V_m for (A, C1), solve
+        the projected Lyapunov H Y + Y H^T + (V^H C1)(V^H C1)^H = 0 on
+        host, expand when the residual is too large (restart by growing m,
+        lmekrylov.c strategy).
+        """
+        if self.problem_type != LMEProblemType.LYAPUNOV:
+            return self._solve_sylvester_like(C1)
+        A = self.A
+        n = A.shape[0]
+        dtype = np.dtype(A.dtype)
+        if self.tol is None:
+            self.tol = 1e-8 if dtype.itemsize >= 8 else 1e-5
+        C1 = np.atleast_2d(np.asarray(C1))
+        if C1.shape[0] != n:
+            C1 = C1.T
+        r = C1.shape[1]
+        m = min(self.ncv, n)
+        self.its = 0
+        Zs = []
+        # X = sum_j X_j with X_j solving against the rank-1 rhs c_j c_j^H
+        # (linearity; cross terms of C1 C1^H vanish in the sum)
+        for j in range(r):
+            cnorm = np.linalg.norm(C1[:, j])
+            if cnorm == 0:
+                continue
+            v0 = C1[:, j] / cnorm
+            mm = m
+            for attempt in range(4):
+                self.its += 1
+                V = BV(n, mm + 1, dtype)
+                V.set_column(0, jnp.asarray(v0, dtype=dtype))
+                H = jnp.zeros((mm + 1, mm), dtype=dtype)
+                Varr, H, beta_j, _, _ = arnoldi_extend(A, V.array, H, 0, mm, nc=0)
+                Hm = np.asarray(H)[:mm, :mm]
+                beta = float(beta_j)
+                e1 = np.zeros(mm)
+                e1[0] = cnorm
+                # projected: Hm Y + Y Hm^T + e1 e1^T = 0
+                Y = sla.solve_lyapunov(Hm, -np.outer(e1, e1))
+                # residual estimate: || beta * e_m^T Y || * 2
+                res = 2.0 * beta * np.linalg.norm(Y[-1, :])
+                self.errest = res / max(np.linalg.norm(Y), 1e-300)
+                if self.errest < self.tol or mm >= n:
+                    break
+                mm = min(2 * mm, n)
+            # factor Y = L L^H (symmetrize, clip negative eigenvalues)
+            w, P = np.linalg.eigh(0.5 * (Y + Y.T))
+            w = np.maximum(w, 0.0)
+            L = P * np.sqrt(w)[None, :]
+            keep = np.sqrt(w) > 1e-14 * max(np.sqrt(w).max(), 1e-300)
+            L = L[:, keep]
+            Zj = np.asarray(Varr[:, :mm]) @ L
+            Zs.append(Zj)
+        Z = np.concatenate(Zs, axis=1) if Zs else np.zeros((n, 0))
+        return Z
+
+    def _solve_sylvester_like(self, C: np.ndarray) -> np.ndarray:
+        """Dense fallback for Sylvester/Stein (small n) — the dense kernels
+        tier (reference interface/lmedense.c)."""
+        A = np.asarray(self.A.to_dense())
+        C = np.asarray(C)
+        if self.problem_type == LMEProblemType.SYLVESTER:
+            B = np.asarray(self.B.to_dense())
+            return sla.solve_sylvester(A, B, -C)
+        if self.problem_type == LMEProblemType.STEIN:
+            # A X A^T - X + C = 0  -> discrete Lyapunov
+            return sla.solve_discrete_lyapunov(A, C)
+        raise ValueError(self.problem_type)
+
+    def compute_residual(self, Z: np.ndarray, C1: np.ndarray) -> float:
+        """||A X + X A^H + C1 C1^H||_F / ||C1 C1^H||_F with X = Z Z^H."""
+        Zj = jnp.asarray(Z)
+        AZ = np.asarray(self.A.mult(Zj))
+        X = Z @ Z.conj().T
+        R = AZ @ Z.conj().T
+        R = R + R.conj().T
+        C1 = np.atleast_2d(np.asarray(C1))
+        if C1.shape[0] != X.shape[0]:
+            C1 = C1.T
+        R = R + C1 @ C1.conj().T
+        return float(np.linalg.norm(R) / max(np.linalg.norm(C1 @ C1.conj().T), 1e-300))

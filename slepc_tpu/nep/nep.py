@@ -1,0 +1,331 @@
+"""NEP — general nonlinear eigenproblems T(lambda) x = 0.
+
+Reference: src/nep/ — user interface via callbacks (Function/Jacobian) or
+*split form* T(lambda) = sum_i f_i(lambda) A_i with FN scalar functions
+(nepimpl.h).  Solvers: rii (residual inverse iteration), slp (successive
+linear problems: inner EPS, slp.c), narnoldi, nleigs (rational Krylov on
+rational interpolation), interpol (Chebyshev interpolation -> inner PEP),
+ciss (contour).
+
+Here the split form is the primary interface; 'slp' and 'rii' are native;
+'interpol' builds a Chebyshev-basis PEP; 'nleigs' and 'ciss' arrive with
+the contour infrastructure.  Deflation of converged pairs uses a simple
+orthogonal-projection scheme standing in for the reference's
+minimality-index deflation (nepdefl.c).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..eps.base import EPS, ProblemType
+from ..fn.fn import FN
+from ..ksp import KSP
+from ..mat.linop import LinearOperator, ShellOperator, SumOperator
+from ..sys.sort import Which
+
+
+class NEP:
+    """Nonlinear eigensolver (split form or callback form)."""
+
+    def __init__(self, *, nev: int = 1, tol: Optional[float] = None,
+                 max_it: int = 100, solver: str = "slp",
+                 target: complex = 0.0):
+        self.split_A: List[LinearOperator] = []
+        self.split_f: List[FN] = []
+        self.fun: Optional[Callable[[complex], LinearOperator]] = None
+        self.jac: Optional[Callable[[complex], LinearOperator]] = None
+        self.nev = nev
+        self.tol = tol
+        self.max_it = max_it
+        self.solver = solver
+        self.target = target
+        self.nconv = 0
+        self.its = 0
+        self.eigenvalues = np.array([], dtype=complex)
+        self.errests = np.array([])
+        self._eigenvectors: Optional[np.ndarray] = None
+
+    # -- problem definition -----------------------------------------------
+    def set_split_operators(self, mats: Sequence[LinearOperator],
+                            fns: Sequence[FN]):
+        assert len(mats) == len(fns)
+        self.split_A = list(mats)
+        self.split_f = list(fns)
+        return self
+
+    def set_function(self, fun: Callable[[complex], LinearOperator],
+                     jac: Optional[Callable[[complex], LinearOperator]] = None):
+        self.fun = fun
+        self.jac = jac
+        return self
+
+    def set_target(self, t: complex):
+        self.target = t
+        return self
+
+    def set_type(self, name: str):
+        self.solver = name
+        return self
+
+    def set_dimensions(self, nev=None):
+        if nev is not None:
+            self.nev = nev
+        return self
+
+    def set_tolerances(self, tol=None, max_it=None):
+        if tol is not None:
+            self.tol = tol
+        if max_it is not None:
+            self.max_it = max_it
+        return self
+
+    # -- T(lambda), T'(lambda) as operators --------------------------------
+    @property
+    def n(self) -> int:
+        if self.split_A:
+            return self.split_A[0].shape[0]
+        return self.fun(self.target).shape[0]
+
+    def T(self, lam: complex) -> LinearOperator:
+        if self.fun is not None:
+            return self.fun(lam)
+        coeffs = tuple(complex(f.eval(lam)) for f in self.split_f)
+        return SumOperator(tuple(self.split_A), coeffs)
+
+    def Tprime(self, lam: complex) -> LinearOperator:
+        if self.jac is not None:
+            return self.jac(lam)
+        if self.fun is not None:
+            # finite-difference Jacobian fallback
+            h = 1e-7 * max(1.0, abs(lam))
+            Tp = self.fun(lam + h)
+            Tm = self.fun(lam - h)
+            return SumOperator((Tp, Tm), (0.5 / h, -0.5 / h))
+        coeffs = tuple(complex(f.eval_deriv(lam)) for f in self.split_f)
+        return SumOperator(tuple(self.split_A), coeffs)
+
+    # -- solve -------------------------------------------------------------
+    def solve(self):
+        if self.tol is None:
+            self.tol = 1e-9
+        if self.solver == "slp":
+            self._solve_newton(improve="slp")
+        elif self.solver == "rii":
+            self._solve_newton(improve="rii")
+        elif self.solver == "narnoldi":
+            self._solve_narnoldi()
+        elif self.solver == "interpol":
+            self._solve_interpol()
+        else:
+            raise ValueError(f"unknown NEP solver {self.solver!r}")
+        return self
+
+    def _residual(self, lam, x):
+        r = self.T(lam).mult(x)
+        return float(jnp.linalg.norm(r)) / max(float(jnp.linalg.norm(x)), 1e-300)
+
+    def _solve_newton(self, improve: str):
+        """SLP (reference slp.c: eigen-correction mu from the pencil
+        (T(lam), T'(lam))) and RII (reference rii.c: fixed preconditioner
+        T(sigma)^{-1}, Rayleigh-functional update) with deflation against
+        previously converged eigenvectors."""
+        n = self.n
+        found_lam: List[complex] = []
+        found_x: List[np.ndarray] = []
+        errs: List[float] = []
+        self.its = 0
+        rng = np.random.default_rng(0)
+
+        for pair in range(self.nev):
+            lam = complex(self.target) + (0.01 * pair if found_lam else 0.0)
+            x = rng.standard_normal(n) + 0j
+            # deflate: orthogonalize against converged vectors
+            for xf in found_x:
+                x = x - xf * (np.conj(xf) @ x)
+            x /= np.linalg.norm(x)
+            xj = jnp.asarray(x)
+            ksp_rii = None
+            if improve == "rii":
+                ksp_rii = KSP(self.T(lam), method="direct")
+            converged = False
+            for it in range(self.max_it):
+                self.its += 1
+                Tl = self.T(lam)
+                res = Tl.mult(xj)
+                rnorm = float(jnp.linalg.norm(res)) / max(float(jnp.linalg.norm(xj)), 1e-300)
+                if rnorm < self.tol:
+                    converged = True
+                    break
+                if improve == "slp":
+                    # mu = smallest eigenvalue of T(lam) y = mu T'(lam) y
+                    Tp = self.Tprime(lam)
+                    mu, y = _smallest_pencil_eig(Tl, Tp, found_x)
+                    lam = lam - mu
+                    xj = y
+                else:  # rii
+                    # x <- x - T(sigma)^{-1} T(lam) x; Rayleigh update
+                    dx = ksp_rii.solve(res)
+                    xj = xj - dx
+                    for xf in found_x:
+                        xfj = jnp.asarray(xf)
+                        xj = xj - xfj * (jnp.vdot(xfj, xj))
+                    xj = xj / jnp.linalg.norm(xj)
+                    lam = _rayleigh_functional(self, lam, xj)
+            xnp = np.asarray(xj)
+            xnp = xnp / np.linalg.norm(xnp)
+            found_lam.append(lam)
+            found_x.append(xnp)
+            errs.append(self._residual(lam, jnp.asarray(xnp)))
+            if not converged:
+                break
+
+        self.nconv = sum(1 for e in errs if e < self.tol * 100)
+        self.eigenvalues = np.array(found_lam)
+        self.errests = np.array(errs)
+        self._eigenvectors = (np.stack(found_x, axis=1)
+                              if found_x else np.zeros((n, 0), dtype=complex))
+
+    def _solve_narnoldi(self):
+        """Nonlinear Arnoldi (reference narnoldi.c): project T(lambda) on a
+        growing subspace, solve the projected NEP, expand with the
+        preconditioned residual."""
+        n = self.n
+        rng = np.random.default_rng(0)
+        v = rng.standard_normal(n) + 0j
+        v /= np.linalg.norm(v)
+        Vb = [v]
+        lam = complex(self.target)
+        ksp = KSP(self.T(lam), method="direct")
+        x = jnp.asarray(v)
+        self.its = 0
+        err = np.inf
+        for it in range(self.max_it):
+            self.its += 1
+            V = np.stack(Vb, axis=1)
+            Vj = jnp.asarray(V)
+
+            def Tproj(z):
+                TV = np.asarray(self.T(z).mult(Vj))
+                return V.conj().T @ TV
+
+            def Jproj(z):
+                TV = np.asarray(self.Tprime(z).mult(Vj))
+                return V.conj().T @ TV
+
+            from ..ds.types import DSNEP
+
+            lam, y = DSNEP().solve_slp(Tproj, Jproj, lam)
+            x = Vj @ jnp.asarray(y)
+            res = self.T(lam).mult(x)
+            err = float(jnp.linalg.norm(res)) / max(float(jnp.linalg.norm(x)), 1e-300)
+            if err < self.tol:
+                break
+            d = np.asarray(ksp.solve(res))
+            for u in Vb:
+                d = d - u * (np.conj(u) @ d)
+            nd = np.linalg.norm(d)
+            if nd < 1e-14:
+                break
+            Vb.append(d / nd)
+        xnp = np.asarray(x)
+        self.nconv = 1 if err < self.tol else 0
+        self.eigenvalues = np.array([lam])
+        self.errests = np.array([err])
+        self._eigenvectors = (xnp / np.linalg.norm(xnp))[:, None]
+
+    def _solve_interpol(self):
+        """Chebyshev interpolation -> PEP (reference interpol.c): sample the
+        split scalar functions on an interval around the target, build a
+        Chebyshev-basis polynomial approximation, and solve the PEP."""
+        if not self.split_f:
+            raise ValueError("interpol requires split form")
+        from ..pep.pep import PEP
+
+        deg = 12
+        # interpolation interval around the target (real interval)
+        t = complex(self.target).real
+        rad = max(abs(t) * 0.5, 1.0)
+        a, b = t - rad, t + rad
+        # Chebyshev nodes and monomial-coefficient fit per scalar function
+        nodes = np.cos(np.pi * (np.arange(deg + 1) + 0.5) / (deg + 1))
+        xs = 0.5 * (b - a) * nodes + 0.5 * (b + a)
+        # build polynomial coefficient matrices: P(lam) = sum_k lam^k C_k
+        Vand = np.vander(xs, deg + 1, increasing=True)
+        coef_per_fn = []
+        for f in self.split_f:
+            vals = np.array([f.eval(xi) for xi in xs])
+            c, *_ = np.linalg.lstsq(Vand, vals, rcond=None)
+            coef_per_fn.append(c)
+        mats = []
+        for k in range(deg + 1):
+            coeffs = tuple(c[k] for c in coef_per_fn)
+            mats.append(SumOperator(tuple(self.split_A), coeffs))
+        pep = PEP(mats, nev=self.nev, target=self.target,
+                  tol=max(self.tol * 0.01, 1e-12), solver="linear")
+        pep.solve()
+        self.its = pep.its
+        lams, errs, xs_ = [], [], []
+        for i in range(pep.nconv):
+            lam_i, x_i = pep.get_eigenpair(i)
+            e = self._residual(complex(lam_i), jnp.asarray(x_i))
+            lams.append(complex(lam_i))
+            errs.append(e)
+            xs_.append(np.asarray(x_i))
+        self.eigenvalues = np.array(lams)
+        self.errests = np.array(errs)
+        self.nconv = sum(1 for e in errs if e < self.tol * 100)
+        self._eigenvectors = (np.stack(xs_, axis=1) if xs_
+                              else np.zeros((self.n, 0), dtype=complex))
+
+    # -- results ----------------------------------------------------------
+    def get_converged(self):
+        return self.nconv
+
+    def get_eigenpair(self, i: int):
+        return self.eigenvalues[i], self._eigenvectors[:, i]
+
+    def compute_error(self, i: int) -> float:
+        lam, x = self.get_eigenpair(i)
+        return self._residual(complex(lam), jnp.asarray(x))
+
+
+def _smallest_pencil_eig(Tl: LinearOperator, Tp: LinearOperator,
+                         deflate: Sequence[np.ndarray]):
+    """Smallest-|mu| eigenpair of T y = mu T' y (dense small, host for
+    round-1 robustness; EPS sinvert for large n)."""
+    n = Tl.shape[0]
+    if n <= 2048:
+        import scipy.linalg as sla
+
+        Td = np.asarray(Tl.to_dense())
+        Jd = np.asarray(Tp.to_dense())
+        mu, Y = sla.eig(Td, Jd)
+        finite = np.isfinite(mu)
+        mu, Y = mu[finite], Y[:, finite]
+        j = int(np.argmin(np.abs(mu)))
+        y = Y[:, j]
+        return complex(mu[j]), jnp.asarray(y / np.linalg.norm(y))
+    eps = EPS(Tl, Tp, problem_type=ProblemType.GNHEP, nev=1,
+              which=Which.TARGET_MAGNITUDE, target=0.0)
+    eps.solve()
+    mu, y = eps.get_eigenpair(0)
+    return complex(mu), jnp.asarray(y)
+
+
+def _rayleigh_functional(nep: NEP, lam: complex, x, maxit: int = 20) -> complex:
+    """Newton on g(z) = x^H T(z) x = 0 near lam (the Rayleigh functional)."""
+    z = lam
+    for _ in range(maxit):
+        g = complex(jnp.vdot(x, nep.T(z).mult(x)))
+        gp = complex(jnp.vdot(x, nep.Tprime(z).mult(x)))
+        if abs(gp) < 1e-300:
+            break
+        dz = g / gp
+        z = z - dz
+        if abs(dz) < 1e-14 * max(1.0, abs(z)):
+            break
+    return z
