@@ -55,6 +55,28 @@ class KrylovSchur(EPSSolver):
         if eps.problem_type in (ProblemType.GHEP, ProblemType.GHIEP) and eps.B is not None:
             Bip = eps.B
 
+        # fully-jitted fast path: standard Hermitian, identity metric,
+        # sigma=0 shift or polynomial filter, no constraints/region
+        from ..st.st import STShift
+        from ..sys.sort import Which
+        from .ks_jit import ks_hep_solve
+
+        which_map = {Which.SMALLEST_REAL: "smallest",
+                     Which.SMALLEST_MAGNITUDE: "smallest",
+                     Which.LARGEST_REAL: "largest",
+                     Which.LARGEST_MAGNITUDE: "largest_magnitude"}
+        plain_shift = isinstance(st, STShift) and st.sigma == 0 and eps.B is None
+        filtered = isinstance(st, STFilter)
+        if (hermitian and Bip is None and eps.deflation_space is None
+                and eps.rg is None and not indefinite
+                and (plain_shift or filtered) and eps.which in which_map
+                and eps.arbitrary is None and not eps.two_sided):
+            w = which_map[eps.which]
+            if filtered:
+                w = "largest"  # filter maps wanted interval to the top
+            if ks_hep_solve(eps, op, w):
+                return
+
         # ---- basis setup (EPSAllocateSolution analog) ----
         V = BV(n, ncv + 1, dtype)
         if Bip is not None:

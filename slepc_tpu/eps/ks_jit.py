@@ -1,0 +1,206 @@
+"""Fully-jitted Krylov-Schur cycle for Hermitian problems — the TPU fast path.
+
+One restart cycle = ONE XLA program: basis extension (SpMV + fused CGS2 per
+column), projected eigh, convergence count, rotation GEMM and H rebuild —
+no host round-trip inside the cycle.  The host loop only reads back one
+scalar (converged count) per restart.
+
+Design notes (vs the general host-orchestrated loop in krylovschur.py):
+  * soft locking by construction: locked Ritz pairs stay in the projected
+    matrix with zero residual coupling; the full ncv x ncv eigh re-produces
+    them as unit-vector eigenpairs, so static shapes suffice — no
+    dynamic-size active windows (the reference manages windows explicitly,
+    krylovschur.c:249-332; XLA prefers the masked formulation).
+  * restart: keep kl = k2 + (ncv - k2)/2 leading columns, arrow row
+    beta * Q[last, :] — identical mathematics to the reference's
+    thick-restart truncation (DSTruncate + BVMultInPlace).
+  * everything shards over the "rows" mesh axis: the SpMV, the basis
+    GEMMs, and the reductions (psum inserted by GSPMD).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=("ncv", "which", "passes"))
+def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
+                 passes: int = 2):
+    """One Krylov-Schur(HEP) restart cycle.
+
+    Args:
+      op:  Hermitian LinearOperator pytree.
+      V:   (n, ncv+1) basis; columns [0, j0) orthonormal, column j0 = start
+           vector (normalized).
+      H:   (ncv+1, ncv) projected coefficients (diag + arrow after restart).
+      j0:  traced int — extension starts here.
+      tol: relative tolerance.
+      key: PRNG key for breakdown restarts.
+      which: 'smallest' | 'largest' | 'largest_magnitude' (static).
+    Returns:
+      (V, H, j0_new, k2, theta, errest, beta)
+        k2      — number of leading converged Ritz pairs
+        theta   — (ncv,) Ritz values in wanted-first order
+        errest  — (ncv,) residual-based error estimates (same order)
+    """
+    n, _ = V.shape
+    rdtype = jnp.zeros((), V.dtype).real.dtype
+    eps_mach = jnp.finfo(rdtype).eps
+
+    # ---- extension: j0 -> ncv (fused-reduction CGS2 per column) ----
+    def body(j, state):
+        V, H = state
+        v = V[:, j]
+        w = op.mult(v)
+        mask = (jnp.arange(ncv + 1) < j + 1).astype(rdtype)
+        c = (V.conj().T @ w) * mask
+        w = w - V @ c
+        c_tot = c
+        for _ in range(passes - 1):
+            c2 = (V.conj().T @ w) * mask
+            w = w - V @ c2
+            c_tot = c_tot + c2
+        beta = jnp.linalg.norm(w)
+        # breakdown -> deterministic random restart direction
+        is_brk = beta < eps_mach ** 0.75 * (jnp.linalg.norm(c_tot) + eps_mach)
+        rnd = jax.random.normal(jax.random.fold_in(key, j), (n,), rdtype).astype(V.dtype)
+        rnd = rnd - V @ ((V.conj().T @ rnd) * mask)
+        rnd = rnd - V @ ((V.conj().T @ rnd) * mask)
+        rbeta = jnp.linalg.norm(rnd)
+        w = jnp.where(is_brk, rnd, w)
+        beta_eff = jnp.where(is_brk, rbeta, beta)
+        safe = jnp.where(beta_eff > 0, beta_eff, 1.0)
+        V = V.at[:, j + 1].set(w / safe)
+        col = jnp.zeros((ncv + 1,), dtype=H.dtype)
+        col = col.at[:ncv].set(c_tot[:ncv])
+        col = jax.lax.dynamic_update_index_in_dim(
+            col, jnp.where(is_brk, 0.0, beta).astype(H.dtype), j + 1, 0)
+        H = H.at[:, j].set(col)
+        return V, H
+
+    V, H = jax.lax.fori_loop(j0, ncv, body, (V, H))
+    beta = jnp.abs(H[ncv, ncv - 1])
+
+    # ---- projected solve: full ncv x ncv eigh (replicated) ----
+    S = H[:ncv, :ncv]
+    S = 0.5 * (S + S.conj().T)
+    theta, Q = jnp.linalg.eigh(S)  # ascending
+    if which == "largest":
+        theta, Q = theta[::-1], Q[:, ::-1]
+    elif which == "largest_magnitude":
+        order = jnp.argsort(-jnp.abs(theta))
+        theta, Q = theta[order], Q[:, order]
+
+    # ---- convergence (leading consecutive) ----
+    last = Q[ncv - 1, :]
+    resid = beta * jnp.abs(last)
+    errest = resid / jnp.maximum(jnp.abs(theta), 1e-300)
+    conv = errest < tol
+    # k2 = length of leading True run
+    k2 = jnp.sum(jnp.cumprod(conv.astype(jnp.int32)))
+
+    # ---- restart size ----
+    l = jnp.maximum(1, (ncv - k2) // 2)
+    l = jnp.minimum(l, jnp.maximum(ncv - k2 - 1, 0))
+    kl = jnp.minimum(k2 + l, ncv - 1)
+
+    # ---- rotate and rebuild (BVMultInPlace + DSTruncate analog) ----
+    Vrot = V[:, :ncv] @ Q.astype(V.dtype)
+    V = V.at[:, :ncv].set(Vrot)
+    vres = V[:, ncv]
+    V = jax.lax.dynamic_update_slice(V, vres[:, None], (0, kl))
+    keep = (jnp.arange(ncv) < kl).astype(H.dtype)
+    Hnew = jnp.zeros_like(H)
+    Hnew = Hnew.at[jnp.arange(ncv), jnp.arange(ncv)].set(
+        theta.astype(H.dtype) * keep)
+    arrow = (beta * last).astype(H.dtype) * keep
+    Hnew = jax.lax.dynamic_update_slice(Hnew, arrow[None, :], (kl, 0))
+    return V, Hnew, kl, k2, theta, errest, beta
+
+
+def ks_hep_solve(eps, op, which: str, Bip=None) -> bool:
+    """Host driver for the jitted cycle; fills the EPS result fields.
+
+    Returns True when this fast path applies and ran (standard Hermitian,
+    identity metric); False to fall back to the general loop.
+    """
+    if Bip is not None:
+        return False
+    n, ncv = eps.n, eps.ncv
+    dtype = np.dtype(eps.A.dtype)
+    if np.issubdtype(dtype, np.complexfloating):
+        pass  # complex Hermitian is fine
+    rng = np.random.default_rng(0)
+    v0 = rng.standard_normal(n)
+    if np.issubdtype(dtype, np.complexfloating):
+        v0 = v0 + 1j * rng.standard_normal(n)
+    if eps.initial_space is not None:
+        v0 = np.asarray(eps.initial_space[:, 0])
+    v0 = v0 / np.linalg.norm(v0)
+
+    from ..sys.mesh import device_put_rows
+
+    V = jnp.zeros((n, ncv + 1), dtype=dtype)
+    V = V.at[:, 0].set(jnp.asarray(v0, dtype=dtype))
+    V = device_put_rows(V)
+    H = jnp.zeros((ncv + 1, ncv), dtype=dtype)
+    key = jax.random.PRNGKey(12345)
+
+    filtered = getattr(eps.st, "requires_rayleigh", False)
+    j0 = jnp.asarray(0)
+    k2 = 0
+    theta = errest = None
+    while eps.its < eps.max_it:
+        eps.its += 1
+        V, H, j0, k2j, theta, errest, beta = ks_hep_cycle(
+            op, V, H, j0, eps.tol, key, ncv=ncv, which=which)
+        k2 = int(k2j)
+        if len(eps.monitor):
+            eps.monitor(eps, eps.its, k2, np.asarray(theta), np.asarray(errest))
+        if eps.stopping is not None and eps.stopping(eps, eps.its, k2, eps.nev):
+            break
+        if filtered:
+            # count converged pairs on the filter plateau (p(lambda) ~ 1):
+            # out-of-interval neighbors converge too but don't count
+            th = np.asarray(theta)[:k2]
+            if int(np.sum(th > 0.5)) >= eps.nev or k2 >= ncv - 1:
+                break
+        elif k2 >= eps.nev:
+            break
+    eps.nconv = k2
+    theta = np.asarray(theta)
+    errest = np.asarray(errest)
+    st = eps.st
+    lam = st.back_transform(theta[:k2].astype(complex))
+    X = np.asarray(V[:, :k2])
+    if getattr(st, "requires_rayleigh", False) and k2 > 0:
+        from .krylovschur import _rayleigh_values
+
+        lam = _rayleigh_values(eps, X)
+        # true residuals on the ORIGINAL operator (the filtered-space
+        # residual says nothing about A), and restrict to the interval
+        Xj = jnp.asarray(X)
+        Rtrue = eps.A.mult(Xj) - Xj * jnp.asarray(lam.real, dtype=Xj.dtype)[None, :]
+        res = np.asarray(jnp.linalg.norm(Rtrue, axis=0))
+        errs = res / np.maximum(np.abs(lam.real), 1e-300)
+        a_i, b_i = getattr(st, "interval", (-np.inf, np.inf))
+        sel = (lam.real >= a_i) & (lam.real <= b_i) & (errs < max(eps.tol * 100, 1e-6))
+        lam, X, errs = lam[sel], X[:, sel], errs[sel]
+        order = np.argsort(lam.real)
+        lam, X = lam[order], X[:, order]
+        k2 = len(lam)
+        eps.nconv = k2
+        errest = np.zeros(max(k2, 1))
+        errest[:k2] = errs[order]
+    eps.eigenvalues = np.real_if_close(lam)
+    if np.all(np.abs(np.imag(lam)) < 1e-13):
+        eps.eigenvalues = np.real(lam)
+    eps.errests = errest[:k2].copy()
+    eps._eigenvectors = X
+    eps.V = None
+    return True

@@ -1,0 +1,92 @@
+"""EPS power iteration / RQI.
+
+Reference: src/eps/impls/power/power.c (1,272 LoC): power iteration on the
+ST-transformed operator, with shift variants EPS_POWER_SHIFT_{CONSTANT,
+RAYLEIGH,WILKINSON} (inverse iteration / RQI when ST=sinvert), deflation of
+converged pairs through BV orthogonalization, optional two-sided.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .base import EPS, EPSConvergedReason, EPSSolver, ProblemType
+
+
+class Power(EPSSolver):
+    shift_type = "constant"  # constant | rayleigh (RQI)
+
+    def solve(self, eps: EPS) -> None:
+        st = eps.st
+        op = st.op()
+        n = eps.n
+        dtype = np.dtype(eps.A.dtype)
+        cplx = np.issubdtype(dtype, np.complexfloating)
+        shift_type = getattr(eps, "power_shift_type", self.shift_type)
+
+        rng = np.random.default_rng(0)
+        X: list[np.ndarray] = []  # converged (locked) vectors
+        lams: list[complex] = []
+        errs: list[float] = []
+        eps.its = 0
+
+        for pair in range(eps.nev):
+            v = rng.standard_normal(n)
+            if cplx:
+                v = v + 1j * rng.standard_normal(n)
+            if eps.initial_space is not None and pair < eps.initial_space.shape[1]:
+                v = np.asarray(eps.initial_space[:, pair])
+            vj = jnp.asarray(v, dtype=dtype)
+            vj = _deflate(vj, X)
+            vj = vj / jnp.linalg.norm(vj)
+            theta = 0.0
+            converged = False
+            while eps.its < eps.max_it:
+                eps.its += 1
+                if shift_type == "rayleigh" and theta != 0.0 and hasattr(st, "set_shift"):
+                    # RQI: move the shift to the current Rayleigh quotient
+                    st.set_shift(st.back_transform(np.array([theta]))[0])
+                    op = st.op()
+                w = op.mult(vj)
+                w = _deflate(w, X)
+                theta = complex(jnp.vdot(vj, w))
+                res = w - theta * vj
+                rnorm = float(jnp.linalg.norm(res))
+                err = eps.conv_measure(theta, rnorm)
+                if len(eps.monitor):
+                    eps.monitor(eps, eps.its, pair,
+                                np.array(lams + [theta]), np.array(errs + [err]))
+                nw = float(jnp.linalg.norm(w))
+                if nw == 0:
+                    break
+                vj = w / nw
+                if err < eps.tol:
+                    converged = True
+                    break
+            lam = st.back_transform(np.array([theta]))[0]
+            lams.append(lam)
+            errs.append(err)
+            X.append(np.asarray(vj))
+            if not converged:
+                eps.reason = EPSConvergedReason.DIVERGED_ITS
+                break
+
+        k = sum(1 for e in errs if e < eps.tol)
+        eps.nconv = k
+        eps.eigenvalues = np.array(lams)
+        if np.all(np.abs(np.imag(eps.eigenvalues)) < 1e-14):
+            eps.eigenvalues = eps.eigenvalues.real
+        eps.errests = np.array(errs)
+        eps._eigenvectors = (np.stack(X, axis=1) if X
+                             else np.zeros((n, 0), dtype=dtype))
+
+
+def _deflate(v, X):
+    for x in X:
+        xj = jnp.asarray(x)
+        v = v - xj * jnp.vdot(xj, v)
+    return v
+
+
+EPS.register("power", Power)
