@@ -7,5 +7,8 @@ from . import lobpcg  # "lobpcg"
 from . import rqcg  # "rqcg"
 from . import davidson  # "gd", "jd"
 from . import lapack  # "lapack"
+from . import ciss  # "ciss"
+from . import lyapii  # "lyapii"
+from . import bse  # "bse" (also dispatched from krylovschur)
 
 __all__ = ["EPS", "EPSConvergedReason", "EPSSolver", "ProblemType", "EPSError"]

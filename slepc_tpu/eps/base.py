@@ -307,6 +307,8 @@ class EPS:
         self.reason = EPSConvergedReason.ITERATING
         solver = cls()
         solver.solve(self)
+        if self.two_sided and self.nconv > 0 and self._left_eigenvectors is None:
+            self._solve_left(cls)
         if self.reason == EPSConvergedReason.ITERATING:
             self.reason = (EPSConvergedReason.CONVERGED_TOL
                            if self.nconv >= self.nev else EPSConvergedReason.DIVERGED_ITS)
@@ -320,6 +322,40 @@ class EPS:
             if self._left_eigenvectors is not None:
                 self._left_eigenvectors = self._left_eigenvectors[:, perm]
         return self
+
+    def _solve_left(self, solver_cls):
+        """Two-sided: left eigenvectors from a run on the adjoint problem
+        A^H y = conj(lambda) B^H y, matched to the right pairs.
+
+        Reference: ks-twosided.c builds both Krylov spaces in one coupled
+        recurrence; the dual-run formulation here computes the same pairs
+        (a BiKS coupled variant is a planned refinement).
+        """
+        from ..mat.linop import AdjointOperator
+
+        if self.is_hermitian and self.B is None:
+            self._left_eigenvectors = self._eigenvectors.copy()
+            return
+        left = EPS(AdjointOperator(self.A),
+                   None if self.B is None else AdjointOperator(self.B),
+                   problem_type=self.problem_type.value,
+                   which=self.which, nev=self.nev, ncv=self.ncv,
+                   tol=self.tol, max_it=self.max_it, solver=self.solver_name,
+                   target=np.conj(self.target) if self.target is not None else None)
+        left.solve()
+        if left.nconv == 0:
+            return
+        Y = left._eigenvectors
+        wl = left.eigenvalues[: left.nconv]
+        used = np.zeros(left.nconv, bool)
+        Ym = np.zeros((self.n, self.nconv), dtype=Y.dtype)
+        for i in range(self.nconv):
+            lam = self.eigenvalues[i]
+            d = np.abs(wl - np.conj(lam)) + np.where(used, np.inf, 0.0)
+            j = int(np.argmin(d))
+            used[j] = True
+            Ym[:, i] = Y[:, j]
+        self._left_eigenvectors = Ym
 
     # -- results -----------------------------------------------------------
     def get_converged(self) -> int:

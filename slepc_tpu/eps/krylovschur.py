@@ -39,6 +39,21 @@ class KrylovSchur(EPSSolver):
     keep = 0.5  # restart kept fraction (reference krylovschur.c:122)
 
     def solve(self, eps: EPS) -> None:
+        from ..sys.sort import Which as _W
+
+        if eps.which == _W.ALL and eps.interval is not None and not isinstance(
+                eps.st, STFilter):
+            # spectrum slicing variant (reference ks-slice.c dispatch)
+            from .ks_slice import slice_solve
+
+            slice_solve(eps)
+            return
+        if eps.problem_type == ProblemType.BSE:
+            # structure-preserving BSE variant (reference ks-bse.c dispatch)
+            from .bse import KrylovSchurBSE
+
+            KrylovSchurBSE().solve(eps)
+            return
         st = eps.st
         op = st.op()
         n, ncv, nev, mpd = eps.n, eps.ncv, eps.nev, eps.mpd

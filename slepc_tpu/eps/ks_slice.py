@@ -1,0 +1,121 @@
+"""Spectrum slicing: all eigenvalues in an interval (EPS_ALL).
+
+Reference: src/eps/impls/krylov/krylovschur/ks-slice.c (1,331 LoC):
+shift-and-invert Krylov-Schur runs at a moving shift, with *matrix inertia*
+at strategic points certifying that no eigenvalue is missed (inertia =
+number of eigenvalues below sigma, read off the LDL^T factorization —
+EPSSliceGetInertia, ks-slice.c:227-258); the interval is bisected until
+every subinterval's census matches the eigenvalues found.  The reference
+also distributes subintervals over subcommunicators (npart); here
+subintervals are processed sequentially (the device mesh is busy inside
+each solve) — multi-mesh task parallelism is a later milestone.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from ..ksp.direct import DirectSolver
+from ..mat.linop import AIJOperator, DenseOperator, IdentityOperator, SumOperator
+from ..st.st import STSinvert
+from ..sys.sort import Which
+from .base import EPS, EPSConvergedReason
+
+
+def _inertia_at(eps: EPS, sigma: float) -> int:
+    """Number of eigenvalues of (A, B) below sigma (B spd or identity)."""
+    import scipy.sparse as sp
+
+    As = eps.A.to_scipy()
+    if eps.B is not None:
+        Bs = eps.B.to_scipy()
+        S = As - sigma * Bs
+    else:
+        S = As - sigma * (sp.eye(As.shape[0], format="csr") if sp.issparse(As)
+                          else np.eye(As.shape[0]))
+    if sp.issparse(S):
+        op = AIJOperator.from_scipy(sp.csr_matrix(S))
+    else:
+        op = DenseOperator(S)
+    neg, zero, pos = DirectSolver(op).inertia()
+    if zero:
+        # shift hit an eigenvalue: perturb (reference ks-slice.c:243-247)
+        return _inertia_at(eps, sigma * (1 + 1e-8) + 1e-12)
+    return neg
+
+
+def slice_solve(eps: EPS) -> None:
+    """Compute ALL eigenvalues in eps.interval by inertia-certified
+    bisection with shift-and-invert Krylov-Schur runs."""
+    a, b = eps.interval
+    ia, ib = _inertia_at(eps, a), _inertia_at(eps, b)
+    total = ib - ia
+    if total <= 0:
+        eps.nconv = 0
+        eps.eigenvalues = np.array([])
+        eps.errests = np.array([])
+        eps._eigenvectors = np.zeros((eps.n, 0), dtype=eps.A.dtype)
+        eps.reason = EPSConvergedReason.CONVERGED_TOL
+        return
+
+    found_lam: List[float] = []
+    found_err: List[float] = []
+    found_X: List[np.ndarray] = []
+    its_total = 0
+
+    # worklist of (lo, hi, count)
+    stack: List[Tuple[float, float, int]] = [(a, b, total)]
+    guard = 0
+    while stack and guard < 4 * total + 20:
+        guard += 1
+        lo, hi, cnt = stack.pop()
+        if cnt <= 0:
+            continue
+        sigma = 0.5 * (lo + hi)
+        sub = EPS(eps.A, eps.B,
+                  problem_type=eps.problem_type.value,
+                  nev=min(cnt, max(2, cnt)), tol=eps.tol,
+                  ncv=min(eps.n, max(2 * cnt + 4, 16)))
+        sub.set_target(sigma)
+        sub.which = Which.TARGET_MAGNITUDE
+        sub.solve()
+        its_total += sub.its
+        got = []
+        for i in range(sub.nconv):
+            lam_i = float(np.real(sub.eigenvalues[i]))
+            if lo - 1e-12 <= lam_i <= hi + 1e-12:
+                if all(abs(lam_i - f) > max(1e-10, eps.tol * 10 * max(1, abs(lam_i)))
+                       for f in found_lam):
+                    got.append((lam_i, float(sub.errests[i]) if i < len(sub.errests) else 0.0,
+                                np.asarray(sub._eigenvectors[:, i])))
+        for lam_i, err_i, x_i in got:
+            found_lam.append(lam_i)
+            found_err.append(err_i)
+            found_X.append(x_i)
+        # census check: how many in (lo, hi) are now found?
+        n_found = sum(1 for f in found_lam if lo - 1e-12 <= f <= hi + 1e-12)
+        if n_found < cnt:
+            # bisect at sigma with inertia certificates
+            isig = _inertia_at(eps, sigma)
+            cl = isig - _inertia_at(eps, lo) if lo != a else isig - ia
+            ch = cnt - cl
+            nf_l = sum(1 for f in found_lam if lo - 1e-12 <= f <= sigma)
+            nf_h = sum(1 for f in found_lam if sigma < f <= hi + 1e-12)
+            if hi - lo < 1e-10 * max(1.0, abs(a), abs(b)):
+                continue  # give up on a degenerate sliver (multiplicities)
+            if cl - nf_l > 0:
+                stack.append((lo, sigma, cl))
+            if ch - nf_h > 0:
+                stack.append((sigma, hi, ch))
+
+    order = np.argsort(found_lam)
+    eps.its = its_total
+    eps.nconv = len(found_lam)
+    eps.eigenvalues = np.asarray(found_lam)[order] if found_lam else np.array([])
+    eps.errests = np.asarray(found_err)[order] if found_err else np.array([])
+    eps._eigenvectors = (np.stack(found_X, axis=1)[:, order] if found_X
+                         else np.zeros((eps.n, 0), dtype=eps.A.dtype))
+    eps.reason = (EPSConvergedReason.CONVERGED_TOL
+                  if eps.nconv >= total else EPSConvergedReason.DIVERGED_ITS)

@@ -1,0 +1,134 @@
+"""Advanced EPS features: spectrum slicing, CISS, two-sided, lyapii, BSE."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import slepc_tpu as st
+from slepc_tpu.sys.sort import Which
+
+
+def test_spectrum_slicing():
+    """EPS_ALL on an interval with inertia certification
+    (reference: ks-slice.c)."""
+    n = 100
+    A = st.laplacian_1d(n)
+    exact = st.mat.generators.laplacian_1d_eigs(n)
+    a, b = 0.5, 0.8
+    inside = np.sort(exact[(exact > a) & (exact < b)])
+    eps = st.EPS(A, problem_type="hep")
+    eps.set_interval(a, b)
+    eps.solve()
+    assert eps.nconv == len(inside)
+    np.testing.assert_allclose(np.sort(eps.eigenvalues.real), inside, rtol=1e-7)
+
+
+def test_slicing_generalized():
+    rng = np.random.default_rng(0)
+    n = 60
+    Ad = rng.standard_normal((n, n))
+    Ad = 0.5 * (Ad + Ad.T)
+    Bd = np.eye(n) + 0.05 * np.diag(rng.random(n))
+    import scipy.linalg as sla
+
+    w = sla.eigh(Ad, Bd, eigvals_only=True)
+    a, b = -1.0, 1.0
+    inside = np.sort(w[(w > a) & (w < b)])
+    eps = st.EPS(st.DenseOperator(Ad), st.DenseOperator(Bd), problem_type="ghep")
+    eps.set_interval(a, b)
+    eps.solve()
+    assert eps.nconv == len(inside)
+    np.testing.assert_allclose(np.sort(eps.eigenvalues.real), inside, rtol=1e-6)
+
+
+def test_ciss_ellipse():
+    """Contour-integral solver finds all eigenvalues in an ellipse
+    (reference: ciss.c)."""
+    n = 100
+    A = st.laplacian_1d(n)
+    exact = st.mat.generators.laplacian_1d_eigs(n)
+    eps = st.EPS(A, problem_type="hep", solver="ciss", tol=1e-9)
+    eps.set_rg(st.RGEllipse(center=0.65, radius=0.16, vscale=0.3))
+    eps.solve()
+    inside = np.sort(exact[np.abs(exact - 0.65) < 0.16])
+    assert eps.nconv == len(inside)
+    np.testing.assert_allclose(np.sort(eps.eigenvalues.real), inside, rtol=1e-8)
+
+
+def test_ciss_nonsymmetric():
+    rng = np.random.default_rng(1)
+    n = 60
+    Ad = rng.standard_normal((n, n)) / np.sqrt(n)
+    w = np.linalg.eigvals(Ad)
+    c, r = 0.3, 0.35
+    inside = w[np.abs(w - c) < r]
+    eps = st.EPS(st.DenseOperator(Ad), problem_type="nhep", solver="ciss",
+                 tol=1e-8)
+    eps.set_rg(st.RGEllipse(center=c, radius=r))
+    eps.solve()
+    assert eps.nconv >= len(inside) - 1  # boundary-grazing pairs may drop
+    for lam in eps.eigenvalues[: eps.nconv]:
+        assert np.min(np.abs(w - lam)) < 1e-6
+
+
+def test_two_sided():
+    """Left eigenvectors: y^H A = lambda y^H (reference: ks-twosided.c)."""
+    rng = np.random.default_rng(2)
+    n = 60
+    Ad = rng.standard_normal((n, n)) / np.sqrt(n)
+    eps = st.EPS(st.DenseOperator(Ad), problem_type="nhep", nev=3,
+                 which=Which.LARGEST_MAGNITUDE)
+    eps.set_two_sided()
+    eps.solve()
+    assert eps.nconv >= 3
+    for i in range(3):
+        lam = eps.eigenvalues[i]
+        y = eps.get_left_eigenvector(i)
+        r = y.conj() @ Ad - lam * y.conj()
+        assert np.linalg.norm(r) < 1e-6
+
+
+def test_lyapii_rightmost():
+    """Rightmost eigenvalue of a stable matrix via Lyapunov inverse
+    iteration (reference: lyapii.c).  The method converges at the linear
+    rate Re(l1+l1)/Re(l1+l2), so the test matrix has a well-separated
+    rightmost eigenvalue (the reference's use case: stability analysis
+    where the critical mode is isolated)."""
+    rng = np.random.default_rng(3)
+    n = 50
+    d = -np.concatenate([[0.4], 2.0 + rng.random(n - 1) * 3])
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    Ad = Q @ np.diag(d) @ Q.T + 0.05 * rng.standard_normal((n, n)) / np.sqrt(n)
+    w = np.linalg.eigvals(Ad)
+    rightmost = w[np.argmax(w.real)]
+    eps = st.EPS(st.DenseOperator(Ad), problem_type="nhep", solver="lyapii",
+                 nev=1, tol=1e-8, max_it=80)
+    eps.solve()
+    assert eps.nconv >= 1
+    got = eps.eigenvalues[0]
+    assert abs(got.real - rightmost.real) < 1e-6
+    assert abs(abs(np.imag(got)) - abs(rightmost.imag)) < 1e-6
+
+
+def test_bse_structure():
+    """Structure-preserving BSE solve (reference: ks-bse.c, Shao variant)."""
+    rng = np.random.default_rng(4)
+    n = 40
+    R = rng.standard_normal((n, n))
+    R = 0.5 * (R + R.T) + 2.5 * n ** 0.5 * np.eye(n)  # R +- C SPD
+    C = rng.standard_normal((n, n))
+    C = 0.5 * (C + C.T)
+    H = st.create_bse(st.DenseOperator(R), st.DenseOperator(C))
+    Hd = np.block([[R, C], [-C, -R]])
+    w = np.linalg.eigvals(Hd)
+    pos = np.sort(w.real[w.real > 1e-8])
+    eps = st.EPS(H, problem_type="bse", nev=4, tol=1e-9)
+    eps.solve()
+    assert eps.nconv >= 4
+    np.testing.assert_allclose(np.sort(eps.eigenvalues[:4].real), pos[:4],
+                               rtol=1e-7)
+    # eigenvector residual on the full H
+    for i in range(4):
+        lam, z = eps.get_eigenpair(i)
+        r = Hd @ z - lam * z
+        assert np.linalg.norm(r) < 1e-6
