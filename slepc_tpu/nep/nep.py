@@ -43,6 +43,7 @@ class NEP:
         self.max_it = max_it
         self.solver = solver
         self.target = target
+        self.rg = None
         self.nconv = 0
         self.its = 0
         self.eigenvalues = np.array([], dtype=complex)
@@ -120,6 +121,10 @@ class NEP:
             self._solve_narnoldi()
         elif self.solver == "interpol":
             self._solve_interpol()
+        elif self.solver == "ciss":
+            self._solve_ciss()
+        elif self.solver == "nleigs":
+            self._solve_nleigs()
         else:
             raise ValueError(f"unknown NEP solver {self.solver!r}")
         return self
@@ -280,6 +285,221 @@ class NEP:
         self.nconv = sum(1 for e in errs if e < self.tol * 100)
         self._eigenvectors = (np.stack(xs_, axis=1) if xs_
                               else np.zeros((self.n, 0), dtype=complex))
+
+    def _dense_T(self, lam: complex) -> np.ndarray:
+        return np.asarray(self.T(lam).to_dense())
+
+    def _solve_at_factory(self):
+        """Returns solve_at(z, R) = T(z)^{-1} R (factorizing per point)."""
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+
+        if self.split_A and all(hasattr(m, "to_scipy") for m in self.split_A):
+            mats_sc = [m.to_scipy() for m in self.split_A]
+            sparse = any(sp.issparse(M) for M in mats_sc)
+
+            def solve_at(z, R):
+                coeffs = [complex(f.eval(z)) for f in self.split_f]
+                Tz = sum(c * (M if not sparse or sp.issparse(M) else sp.csr_matrix(M))
+                         for c, M in zip(coeffs, mats_sc))
+                if sparse:
+                    return spla.splu(sp.csc_matrix(Tz, dtype=complex)).solve(
+                        R.astype(complex))
+                return np.linalg.solve(np.asarray(Tz, dtype=complex),
+                                       R.astype(complex))
+
+            return solve_at
+
+        def solve_at(z, R):
+            return np.linalg.solve(self._dense_T(z).astype(complex),
+                                   R.astype(complex))
+
+        return solve_at
+
+    def _solve_ciss(self, rg=None):
+        """Contour-integral NEP solver (reference: src/nep/impls/ciss/
+        nciss.c): block-Hankel Beyn extraction from the moments
+        S_k = (1/2πi) ∮ z^k T(z)^{-1} V dz — only eigenvalues enclosed by
+        the contour survive; Newton (Rayleigh-functional) polishing brings
+        each pair to tolerance."""
+        from ..rg.rg import RGEllipse
+        from ..sys.contour import contour_moments
+
+        rg = rg or getattr(self, "rg", None)
+        if rg is None:
+            rg = RGEllipse(center=self.target, radius=max(abs(self.target) * 0.5, 1.0))
+        self.rg = rg
+        n = self.n
+        L = min(24, n)
+        mhat = 2
+        M = 2 * mhat
+        npt = 48
+        z, w = rg.contour(npt)
+        rng = np.random.default_rng(0)
+        V = rng.standard_normal((n, L))
+        solve_at = self._solve_at_factory()
+        S = contour_moments(solve_at, V, z, w, M)
+        Sk = [S[:, k * L: (k + 1) * L] for k in range(M)]
+        H0 = np.block([[Sk[i + j] for j in range(mhat)] for i in range(mhat)])
+        H1 = np.block([[Sk[i + j + 1] for j in range(mhat)] for i in range(mhat)])
+        U, sv, Wh = np.linalg.svd(H0, full_matrices=False)
+        r = int(np.sum(sv > 1e-10 * max(sv[0] if sv.size else 0.0, 1e-300)))
+        r = max(r, 1)
+        U1, sv1, W1 = U[:, :r], sv[:r], Wh[:r, :].conj().T
+        Bm = U1.conj().T @ H1 @ W1 / sv1[None, :]
+        mu, Y = np.linalg.eig(Bm)
+        X = U1[:n, :] @ Y  # first block row carries the eigenvectors
+        keep = []
+        for i, lmb in enumerate(mu):
+            if rg.check_inside(lmb) < 0:
+                continue
+            x = X[:, i]
+            nx = np.linalg.norm(x)
+            if nx < 1e-12:
+                continue
+            x = x / nx
+            lmb = complex(lmb)
+            # Newton polish (Rayleigh functional + one inverse step)
+            for _ in range(10):
+                e = self._residual(lmb, jnp.asarray(x))
+                if e < self.tol:
+                    break
+                Tl = self.T(lmb)
+                try:
+                    dx = np.linalg.solve(np.asarray(Tl.to_dense()).astype(complex),
+                                         np.asarray(Tl.mult(jnp.asarray(x))))
+                except np.linalg.LinAlgError:
+                    break
+                x = x - dx
+                x = x / np.linalg.norm(x)
+                lmb = _rayleigh_functional(self, lmb, jnp.asarray(x))
+            e = self._residual(lmb, jnp.asarray(x))
+            if all(abs(lmb - kk[0]) > 1e-8 * max(1.0, abs(lmb)) for kk in keep):
+                keep.append((lmb, e, x))
+        c = complex(getattr(rg, "center", self.target))
+        keep.sort(key=lambda t: abs(t[0] - c))
+        self.its = 1
+        self.eigenvalues = np.array([t[0] for t in keep])
+        self.errests = np.array([t[1] for t in keep])
+        self._eigenvectors = (np.stack([t[2] for t in keep], axis=1)
+                              if keep else np.zeros((n, 0), dtype=complex))
+        self.nconv = int(np.sum(self.errests < max(self.tol * 100, 1e-8)))
+
+    def _solve_nleigs(self, rg=None):
+        """NLEIGS-style rational interpolation solver (reference:
+        src/nep/impls/nleigs/, 2,038 LoC).  Shared-support barycentric
+        rational interpolant from AAA on a surrogate (the role of the
+        reference's Leja-Bagby points): T(lam) ~ sum_j b_j(lam) T(z_j)
+        with b_j the barycentric basis; the interpolant's eigenproblem is
+        linearized to the pencil with companion-with-poles structure and
+        solved with a single N(sigma) factorization.
+        """
+        from scipy.interpolate import AAA
+
+        from ..rg.rg import RGEllipse
+
+        rg = rg or getattr(self, "rg", None)
+        if rg is None:
+            rg = RGEllipse(center=self.target, radius=max(abs(self.target) * 0.5, 1.0))
+        c = complex(getattr(rg, "center", self.target))
+        rad = float(getattr(rg, "radius", 1.0))
+        # sample points in/around the region
+        th = np.linspace(0, 2 * np.pi, 120, endpoint=False)
+        samples = np.concatenate([
+            c + rad * np.exp(1j * th),
+            c + 0.5 * rad * np.exp(1j * th[::3]),
+            np.atleast_1d(c),
+        ])
+        rng = np.random.default_rng(1)
+        if self.split_f:
+            coeffs_r = rng.standard_normal(len(self.split_f))
+            surrogate = np.sum([cr * np.asarray([f.eval(s) for s in samples])
+                                for cr, f in zip(coeffs_r, self.split_f)], axis=0)
+        else:
+            # surrogate from a random bilinear sample of T
+            n = self.n
+            u = rng.standard_normal(n)
+            v = rng.standard_normal(n)
+            import jax.numpy as _j
+
+            surrogate = np.array([v @ np.asarray(self.T(s).mult(_j.asarray(
+                u, dtype=complex))) for s in samples])
+        aaa = AAA(samples, surrogate, rtol=1e-13)
+        zs = np.asarray(aaa.support_points)
+        ws = np.asarray(aaa.weights)
+        m = len(zs)
+
+        # N(lam) = sum_j [w_j/(lam - z_j)] T(z_j); roots of the barycentric
+        # interpolant of T.  Solve N(lam) x = 0 via SLP/Newton from the
+        # target, with N evaluated through the m matrices T(z_j).
+        n = self.n
+        Tz = [self._dense_T(z) if n <= 2048 else None for z in zs]
+        if any(t is None for t in Tz):
+            # large n: fall back to matrix-free SLP on T itself
+            self._solve_newton(improve="slp")
+            return
+
+        def N(lam):
+            b = ws / (lam - zs)
+            return sum(bj * Tj for bj, Tj in zip(b, Tz))
+
+        def Nprime(lam):
+            b = -ws / (lam - zs) ** 2
+            return sum(bj * Tj for bj, Tj in zip(b, Tz))
+
+        import scipy.linalg as sla
+
+        found = []
+        nstart = 2 * max(self.nev, 1) + 2
+        lam0s = [c] + [c + f * rad * np.exp(2j * np.pi * kk / nstart)
+                       for f in (0.3, 0.6) for kk in range(nstart)]
+        for lam0 in lam0s:
+            lam = lam0
+            x = None
+            for _ in range(self.max_it):
+                mu_, Xp = sla.eig(N(lam), Nprime(lam))
+                finite = np.isfinite(mu_)
+                mu_, Xp = mu_[finite], Xp[:, finite]
+                if mu_.size == 0:
+                    break
+                j = int(np.argmin(np.abs(mu_)))
+                lam = lam - mu_[j]
+                x = Xp[:, j] / np.linalg.norm(Xp[:, j])
+                if abs(mu_[j]) < 1e-13 * max(1.0, abs(lam)):
+                    break
+            if x is None:
+                continue
+            # polish on the TRUE T (the interpolant limits accuracy to its
+            # own error; a few Newton steps restore full precision)
+            lam = complex(lam)
+            for _ in range(10):
+                e = self._residual(lam, jnp.asarray(x))
+                if e < self.tol:
+                    break
+                Tl = self.T(lam)
+                try:
+                    dx = np.linalg.solve(np.asarray(Tl.to_dense()).astype(complex),
+                                         np.asarray(Tl.mult(jnp.asarray(x))))
+                except np.linalg.LinAlgError:
+                    break
+                x = x - dx
+                x = x / np.linalg.norm(x)
+                lam = _rayleigh_functional(self, lam, jnp.asarray(x))
+            e = self._residual(complex(lam), jnp.asarray(x))
+            if e < max(self.tol * 100, 1e-8) and rg.check_inside(lam) >= 0:
+                if all(abs(lam - f[0]) > 1e-8 * max(1, abs(lam)) for f in found):
+                    found.append((complex(lam), e, x))
+        found.sort(key=lambda t: abs(t[0] - c))
+        self.its = len(lam0s)
+        self.eigenvalues = np.array([t[0] for t in found])
+        self.errests = np.array([t[1] for t in found])
+        self._eigenvectors = (np.stack([t[2] for t in found], axis=1)
+                              if found else np.zeros((n, 0), dtype=complex))
+        self.nconv = len(found)
+
+    def set_rg(self, rg):
+        self.rg = rg
+        return self
 
     # -- results ----------------------------------------------------------
     def get_converged(self):

@@ -1,0 +1,113 @@
+"""Pallas TPU kernel for DIA (diagonal-offset) SpMV.
+
+The DIA SpMV y[i] = sum_k d_k[i] * x[i + off_k] is pure streaming: its
+speed of light is HBM bandwidth over ~(4 + 8/ndiag) bytes per nonzero.
+The XLA roll-based formulation reaches ~30% of that (each roll is a
+materialized copy), so this kernel restructures the computation for the
+TPU's 2-D vector layout:
+
+  * the flattened vector is viewed as a (rows, W) matrix, W = 512 lanes;
+  * a flattened shift by offset o = q*W + r decomposes EXACTLY into a
+    row shift by q (taken from the 3-block neighborhood fed by BlockSpec
+    index maps i-1, i, i+1 — auto-double-buffered, no manual DMA) plus a
+    lane rotation realized as two static column slices concatenated
+    (carry row q+1 supplies the wrapped columns);
+  * per diagonal: one multiply-add on the VPU; no gathers, no copies.
+
+Traffic: diags once + x three times + y once; ~75-80% of the format's
+ideal bytes for the 5-point stencil, fully pipelined.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+W = 512  # lane width of the 2-D view
+
+
+def _dia_kernel(offsets: Tuple[int, ...], Rb: int,
+                xm_ref, xc_ref, xp_ref, d_ref, y_ref):
+    x3 = jnp.concatenate([xm_ref[:], xc_ref[:], xp_ref[:]], axis=0)  # (3Rb, W)
+    col = jax.lax.broadcasted_iota(jnp.int32, (Rb, W), 1)
+    acc = None
+    for k, off in enumerate(offsets):
+        q, r = divmod(off, W)  # python floor-division: r in [0, W)
+        A = x3[Rb + q: 2 * Rb + q, :]
+        if r == 0:
+            shifted = A
+        else:
+            # lane rotation with carry from the next row block:
+            # shifted[i,j] = A[i,j+r] (j < W-r) else B[i,j+r-W]
+            Bq = x3[Rb + q + 1: 2 * Rb + q + 1, :]
+            # rotate left by r == rotate right by W - r (shift must be >= 0;
+            # int32 literal: x64 mode would emit an i64 rotate operand)
+            shift = jnp.asarray(W - r, dtype=jnp.int32)
+            rollA = pltpu.roll(A, shift, axis=1)
+            rollB = pltpu.roll(Bq, shift, axis=1)
+            shifted = jnp.where(col < W - r, rollA, rollB)
+        term = d_ref[k] * shifted
+        acc = term if acc is None else acc + term
+    y_ref[:] = acc
+
+
+@partial(jax.jit, static_argnames=("offsets", "block_rows"))
+def dia_spmv(offsets: Tuple[int, ...], diags, x, block_rows: int = 256):
+    """y = DIA(offsets, diags) @ x via the Pallas 2-D sliding kernel.
+
+    diags: (ndiag, n) with out-of-range entries pre-zeroed (DIAOperator
+    storage convention).  Requires max|off| < block_rows * W.
+    """
+    n = x.shape[0]
+    nd = diags.shape[0]
+    Rb = block_rows
+    B = Rb * W
+    nblk = -(-n // B)
+    npad = nblk * B
+    xp = jnp.zeros(npad, x.dtype).at[:n].set(x).reshape(nblk * Rb, W)
+    # one zero block of rows above and below for the neighbor index maps
+    zrows = jnp.zeros((Rb, W), x.dtype)
+    xp = jnp.concatenate([zrows, xp, zrows], axis=0)  # ((nblk+2)*Rb, W)
+    dp = jnp.zeros((nd, npad), diags.dtype).at[:, :n].set(diags) \
+        .reshape(nd, nblk * Rb, W)
+
+    y = pl.pallas_call(
+        partial(_dia_kernel, tuple(offsets), Rb),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((Rb, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Rb, W), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Rb, W), lambda i: (i + 2, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nd, Rb, W), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Rb, W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblk * Rb, W), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nd * n,
+            bytes_accessed=(diags.size + 4 * n) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(xp, xp, xp, dp)
+    return y.reshape(npad)[:n]
+
+
+def dia_spmv_supported(offsets: Sequence[int], n: int, dtype,
+                       block_rows: int = 256) -> bool:
+    """Kernel applicability: TPU backend, offsets fit the neighborhood."""
+    h = max((abs(o) for o in offsets), default=0)
+    if h >= (block_rows - 1) * W or n < W:
+        return False
+    if np.dtype(dtype).kind == "c":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False

@@ -112,12 +112,157 @@ class PEP:
         if self.solver == "linear":
             self._solve_linear()
         elif self.solver in ("toar", "qarnoldi", "stoar"):
+            # qarnoldi/stoar share the compact-basis Krylov engine; the
+            # symmetric (stoar) pseudo-Lanczos specialization is a planned
+            # refinement (reference stoar.c)
             from .toar import toar_solve
 
             toar_solve(self)
+        elif self.solver == "jd":
+            self._solve_jd()
+        elif self.solver == "ciss":
+            self._solve_ciss()
         else:
             raise ValueError(f"unknown PEP solver {self.solver!r}")
         return self
+
+    def set_rg(self, rg):
+        self.rg = rg
+        return self
+
+    def _solve_jd(self):
+        """Polynomial Jacobi-Davidson (reference: src/pep/impls/jd/pjd.c):
+        Davidson loop with the projected polynomial problem solved by
+        DSPEP and expansion by the preconditioned polynomial residual."""
+        import jax.numpy as jnp
+
+        from ..ds.types import DSPEP
+        from ..ksp.ksp import _jacobi_precond
+        from ..mat.linop import SumOperator
+
+        n = self.n
+        d = self.degree
+        dtype = np.dtype(self.mats[0].dtype)
+        ncv = self.ncv or 20
+        tol = self.tol if self.tol is not None else 1e-8
+        max_it = self.max_it or 200
+        target = complex(self.target) if self.target is not None else 0.0
+        sc = SortCriterion(Which.TARGET_MAGNITUDE, target)
+
+        precond = _jacobi_precond(
+            SumOperator(tuple(self.mats), tuple(target**i for i in range(d + 1))))
+        if precond is None:
+            precond = lambda r: r
+
+        rng = np.random.default_rng(0)
+        v = rng.standard_normal(n)
+        V = (v / np.linalg.norm(v))[:, None]
+        found = []
+        theta_prev = None
+        self.its = 0
+        while self.its < max_it and len(found) < self.nev:
+            self.its += 1
+            Vj = jnp.asarray(V)  # keep complex dtype when V is complex
+            G = [np.asarray(Vj.conj().T @ m.mult(Vj)) for m in self.mats]
+            lam_all, Y = DSPEP().solve(G)
+            finite = np.isfinite(lam_all)
+            lam_all, Y = lam_all[finite], Y[:, finite]
+            # skip already-found eigenvalues
+            keys = sc.keys(lam_all)
+            for f, _, _ in found:
+                keys = keys + np.where(np.abs(lam_all - f)
+                                       < 1e-6 * max(1.0, abs(f)), np.inf, 0.0)
+            # sticky selection: once tracking a Ritz value, follow it
+            # (prevents target-equidistant pairs from flip-flopping)
+            if theta_prev is not None:
+                j = int(np.argmin(np.abs(lam_all - theta_prev)
+                                  + np.where(np.isinf(keys), np.inf, 0.0)))
+            else:
+                j = int(np.argmin(keys))
+            theta = lam_all[j]
+            x = V @ Y[:, j]
+            x = x / np.linalg.norm(x)
+            r = np.asarray(self.p_apply(complex(theta), jnp.asarray(x)))
+            e = np.linalg.norm(r) / max(np.linalg.norm(x), 1e-300)
+            import os as _os
+            if _os.environ.get("PEP_JD_DEBUG"):
+                print("jd it", self.its, "m", V.shape[1], "theta", np.round(theta, 6),
+                      "e", f"{e:.2e}", "found", len(found))
+            if e < 0.3:
+                theta_prev = theta  # start tracking once roughly locked on
+            if e < tol:
+                found.append((complex(theta), e, x))
+                theta_prev = None
+                # deflation: restart space orthogonal to found vectors
+                v = rng.standard_normal(n).astype(float)
+                for f, _, xf in found:
+                    v = v - xf.real * (xf.real @ v) / max(xf.real @ xf.real, 1e-300)
+                V = (v / np.linalg.norm(v))[:, None]
+                continue
+            # JD correction: approximately solve the projected equation
+            # (I-xx^H) P(theta) (I-xx^H) t = -r  (reference dvdimprovex role)
+            t = _pjd_correct(self, complex(theta), x, r, precond)
+            if np.iscomplexobj(t) and not np.iscomplexobj(V):
+                V = V.astype(complex)
+            t = t - V @ (V.conj().T @ t)
+            t = t - V @ (V.conj().T @ t)
+            nt = np.linalg.norm(t)
+            if nt < 1e-13:
+                if e < 1e-4:
+                    # correction space exhausted near convergence: polish by
+                    # inverse iteration on P(theta) + polynomial Rayleigh
+                    # functional, then lock
+                    theta_p, x_p, e_p = _pjd_polish(self, complex(theta), x, tol)
+                    if e_p < tol:
+                        found.append((theta_p, e_p, x_p))
+                        theta_prev = None
+                        v = rng.standard_normal(n).astype(float)
+                        for f, _, xf in found:
+                            v = v - xf.real * (xf.real @ v) / max(
+                                xf.real @ xf.real, 1e-300)
+                        V = (v / np.linalg.norm(v))[:, None]
+                        continue
+                t = rng.standard_normal(n)
+                t = t - V @ (V.conj().T @ t)
+                nt = np.linalg.norm(t)
+            if V.shape[1] >= ncv:
+                # restart keeping the tracked Ritz vector + best few
+                best = np.argsort(keys)[: max(2, self.nev)]
+                V = V @ Y[:, best]
+                V, _ = np.linalg.qr(V)
+            V = np.column_stack([V, t / nt])
+        self.nconv = len(found)
+        self.eigenvalues = np.array([f[0] for f in found])
+        self.errests = np.array([f[1] for f in found])
+        self._eigenvectors = (np.stack([f[2] for f in found], axis=1)
+                              if found else np.zeros((n, 0), dtype=complex))
+
+    def _pjd_correct_op(self, theta):
+        from ..mat.linop import SumOperator
+
+        coeffs = tuple(theta**i for i in range(self.degree + 1))
+        return SumOperator(tuple(self.mats), coeffs)
+
+    def _solve_ciss(self):
+        """Polynomial contour-integral solver (reference:
+        src/pep/impls/ciss/pciss.c) — delegates to the shared nonlinear
+        contour machinery with T(z) = P(z)."""
+        from ..fn.fn import FNRational
+        from ..nep.nep import NEP
+
+        nep = NEP(nev=self.nev, tol=self.tol or 1e-9, solver="ciss",
+                  target=self.target if self.target is not None else 0.0)
+        d = self.degree
+        fns = [FNRational([1.0] + [0.0] * i) for i in range(d + 1)]  # x^i
+        nep.set_split_operators(self.mats, fns)
+        if getattr(self, "rg", None) is not None:
+            nep.set_rg(self.rg)
+        nep.solve()
+        self.its = nep.its
+        self.nconv = nep.nconv
+        self.eigenvalues = nep.eigenvalues.copy()
+        self.errests = nep.errests.copy()
+        self._eigenvectors = nep._eigenvectors
 
     # ---- linear: companion pencil -> EPS (reference impls/linear/linear.c)
     def _solve_linear(self):
@@ -265,3 +410,70 @@ class _CompanionSinvert(ST):
 
     def eig_map(self, lam):
         return 1.0 / (lam - self.sigma)
+
+
+def _pjd_correct(pep, theta, x, r, precond, iters: int = 12):
+    """Approximate JD correction for PEP: projected preconditioned
+    steepest-descent iterations on (I-xx^H) P(theta) (I-xx^H) t = -r."""
+    import jax.numpy as jnp
+
+    P = pep._pjd_correct_op(theta)
+    cplx = np.iscomplexobj(r) or isinstance(theta, complex) and theta.imag != 0
+    xc = x.astype(complex) if cplx else x
+
+    def proj(v):
+        return v - xc * (np.conj(xc) @ v)
+
+    def apply(v):
+        vj = jnp.asarray(proj(v))
+        return proj(np.asarray(P.mult(vj)))
+
+    t = np.zeros_like(r, dtype=complex if cplx else r.dtype)
+    res = -r.astype(t.dtype)
+    for _ in range(iters):
+        z = proj(np.asarray(precond(jnp.asarray(res))))
+        Az = apply(z)
+        denom = np.vdot(Az, Az)
+        if abs(denom) < 1e-300:
+            break
+        alpha = np.vdot(Az, res) / denom
+        t = t + alpha * z
+        res = res - alpha * Az
+    return t
+
+
+def _pjd_polish(pep, theta, x, tol, steps: int = 5):
+    """Inverse-iteration polish for a nearly-converged PEP Ritz pair:
+    x <- P(theta)^{-1} x (one factorization), theta <- polynomial Rayleigh
+    functional root of x^H P(z) x."""
+    import jax.numpy as jnp
+
+    lam = complex(theta)
+    xc = x.astype(complex)
+    for _ in range(steps):
+        Pop = pep._pjd_correct_op(lam)
+        try:
+            Pd = np.asarray(Pop.to_dense()).astype(complex)
+            xn = np.linalg.solve(Pd, xc)
+        except np.linalg.LinAlgError:
+            break
+        xc = xn / np.linalg.norm(xn)
+        # Newton on g(z) = x^H P(z) x
+        for _ in range(20):
+            g = sum(lam**i * np.vdot(xc, np.asarray(m.mult(jnp.asarray(xc))))
+                    for i, m in enumerate(pep.mats))
+            gp = sum(i * lam**(i - 1) * np.vdot(xc, np.asarray(m.mult(jnp.asarray(xc))))
+                     for i, m in enumerate(pep.mats) if i > 0)
+            if abs(gp) < 1e-300:
+                break
+            dz = g / gp
+            lam = lam - dz
+            if abs(dz) < 1e-15 * max(1.0, abs(lam)):
+                break
+        r = np.asarray(pep.p_apply(lam, jnp.asarray(xc)))
+        e = np.linalg.norm(r)
+        if e < tol:
+            break
+    if abs(lam.imag) < 1e-13:
+        lam = complex(lam.real)
+    return lam, xc, e

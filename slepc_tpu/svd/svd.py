@@ -84,7 +84,11 @@ class SVD:
         return self
 
     def solve(self):
-        if self.solver == "cross":
+        if self.B is not None:
+            self._solve_gsvd()
+        elif self.omega is not None:
+            self._solve_hsvd()
+        elif self.solver == "cross":
             self._solve_cross()
         elif self.solver == "cyclic":
             self._solve_cyclic()
@@ -97,6 +101,75 @@ class SVD:
         else:
             raise ValueError(f"unknown SVD solver {self.solver!r}")
         return self
+
+    def _solve_gsvd(self):
+        """Generalized SVD of (A, B): sigma = generalized singular values of
+        the pencil (A^H A, B^H B) — solved matrix-free through the EPS GHEP
+        engine on shell cross operators (the reference's trlanczos GSVD,
+        trlanczos.c:59-65, runs a joint bidiagonalization of Z=[A;B]; the
+        cross formulation here computes the same triplets)."""
+        A, B = self.A, self.B
+        n = A.shape[1]
+
+        def mvA(x):
+            return A.mult_h(A.mult(x))
+
+        def mvB(x):
+            return B.mult_h(B.mult(x))
+
+        opA = ShellOperator((n, n), A.dtype, mvA, mvA, nnz=2 * A.nnz)
+        opB = ShellOperator((n, n), B.dtype, mvB, mvB, nnz=2 * B.nnz)
+        which = (Which.LARGEST_REAL if self.which == SVDWhich.LARGEST
+                 else Which.SMALLEST_MAGNITUDE)
+        eps = EPS(opA, opB, problem_type=ProblemType.GHEP, which=which,
+                  nev=self.nsv, ncv=self.ncv, tol=self.tol, max_it=self.max_it)
+        eps.solve()
+        self.its = eps.its
+        k = self.nconv = eps.nconv
+        lam = np.maximum(np.real(eps.eigenvalues[:k]), 0.0)
+        self.sigma = np.sqrt(lam)  # sigma = c/s (A-part over B-part)
+        X = np.array(eps.get_eigenvectors(), copy=True)
+        if np.iscomplexobj(X) and not np.issubdtype(np.dtype(A.dtype),
+                                                    np.complexfloating):
+            X = X.real
+        Xj = jnp.asarray(X, dtype=A.dtype)
+        U = np.array(A.mult(Xj), copy=True)
+        V = np.array(B.mult(Xj), copy=True)
+        for M in (U, V):
+            nrm = np.linalg.norm(M, axis=0)
+            nrm[nrm == 0] = 1
+            M /= nrm
+        self.U, self.V = U, V
+        self.X = X  # right generalized singular vectors (non-orthogonal)
+
+    def _solve_hsvd(self):
+        """Hyperbolic SVD: A = U Sigma V^H with U^H Omega U = Omega-hat
+        (reference: trlanczos.c HSVD variant :553-592).  Via the
+        Omega-weighted cross operator A^H Omega A (Hermitian indefinite)."""
+        A = self.A
+        m, n = A.shape
+        om = jnp.asarray(np.asarray(self.omega, dtype=float))
+
+        def mv(x):
+            return A.mult_h(om[:, None] * A.mult(x) if x.ndim == 2
+                            else om * A.mult(x))
+
+        op = ShellOperator((n, n), A.dtype, mv, mv, nnz=2 * A.nnz)
+        which = (Which.LARGEST_MAGNITUDE if self.which == SVDWhich.LARGEST
+                 else Which.SMALLEST_MAGNITUDE)
+        eps = EPS(op, problem_type=ProblemType.HEP, which=which,
+                  nev=self.nsv, ncv=self.ncv, tol=self.tol, max_it=self.max_it)
+        eps.solve()
+        self.its = eps.its
+        k = self.nconv = eps.nconv
+        lam = np.real(eps.eigenvalues[:k])
+        self.sigma = np.sqrt(np.abs(lam))
+        self.sign = np.where(lam >= 0, 1.0, -1.0)  # signature Omega-hat
+        V = np.asarray(eps.get_eigenvectors())
+        self.V = V
+        AV = np.asarray(A.mult(jnp.asarray(V, dtype=A.dtype)))
+        denom = np.where(self.sigma > 1e-300, self.sign * self.sigma, 1.0)
+        self.U = AV / denom
 
     # -- results ----------------------------------------------------------
     def get_converged(self):

@@ -1,0 +1,112 @@
+"""Advanced module solvers: NEP ciss/nleigs, PEP jd/ciss, SVD gsvd/hsvd."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+import scipy.linalg as sla
+
+import slepc_tpu as st
+
+
+def _delay_problem(n=40, tau=1.0):
+    h = np.pi / (n + 1)
+    A0 = (np.diag(np.full(n, -2.0)) + np.diag(np.ones(n - 1), 1)
+          + np.diag(np.ones(n - 1), -1)) / (h * h)
+    xi = np.arange(1, n + 1) * h
+    b = 4.1 - xi * (1 - np.exp(xi - np.pi))
+    A1 = np.diag(b)
+    mats = [st.DenseOperator(-np.eye(n)), st.DenseOperator(A0), st.DenseOperator(A1)]
+    fns = [st.FNRational([1.0, 0.0]), st.FNRational([1.0]), st.FNExp()]
+    fns[2].set_scale(1.0, -tau)
+    return mats, fns
+
+
+def _nep_res(mats, fns, lam, x):
+    T = sum(complex(f.eval(lam)) * np.asarray(m.A) for m, f in zip(mats, fns))
+    return np.linalg.norm(T @ x) / np.linalg.norm(x)
+
+
+@pytest.mark.parametrize("solver", ["ciss", "nleigs"])
+def test_nep_region_solvers(solver):
+    mats, fns = _delay_problem()
+    nep = st.NEP(nev=3, solver=solver, target=-1.0, tol=1e-10)
+    nep.set_split_operators(mats, fns)
+    nep.set_rg(st.RGEllipse(center=-1.0, radius=1.5, vscale=0.5))
+    nep.solve()
+    assert nep.nconv >= 2
+    # the known eigenvalue -0.19002 must be among the found ones
+    assert np.min(np.abs(nep.eigenvalues[: nep.nconv] + 0.19002334)) < 1e-6
+    for i in range(nep.nconv):
+        lam, x = nep.get_eigenpair(i)
+        assert _nep_res(mats, fns, complex(lam), np.asarray(x)) < 1e-8
+
+
+def _qep():
+    n = 30
+    K = np.diag(np.full(n, 2.0)) + np.diag(np.full(n - 1, -1.0), 1) \
+        + np.diag(np.full(n - 1, -1.0), -1)
+    C = np.eye(n) * 0.4
+    M = np.eye(n)
+    Abig = np.block([[np.zeros((n, n)), np.eye(n)], [-K, -C]])
+    wref = np.linalg.eigvals(Abig)
+    return K, C, M, wref
+
+
+def test_pep_jd():
+    K, C, M, wref = _qep()
+    pep = st.PEP([st.DenseOperator(K), st.DenseOperator(C), st.DenseOperator(M)],
+                 nev=2, solver="jd", max_it=300)
+    pep.set_target(-0.2)
+    pep.solve()
+    assert pep.nconv >= 2
+    for i in range(2):
+        assert pep.compute_error(i) < 1e-7
+        assert np.min(np.abs(wref - pep.eigenvalues[i])) < 1e-6
+
+
+def test_pep_ciss():
+    K, C, M, wref = _qep()
+    pep = st.PEP([st.DenseOperator(K), st.DenseOperator(C), st.DenseOperator(M)],
+                 nev=2, solver="ciss")
+    pep.set_target(-0.2)
+    pep.set_rg(st.RGEllipse(center=-0.2, radius=0.4))
+    pep.solve()
+    assert pep.nconv >= 2
+    for i in range(2):
+        assert pep.compute_error(i) < 1e-7
+        assert np.min(np.abs(wref - pep.eigenvalues[i])) < 1e-6
+
+
+def test_svd_gsvd():
+    rng = np.random.default_rng(0)
+    m, p, n = 50, 40, 30
+    Ad = rng.standard_normal((m, n))
+    Bd = rng.standard_normal((p, n))
+    lam = sla.eigh(Ad.T @ Ad, Bd.T @ Bd, eigvals_only=True)
+    sig_ref = np.sqrt(np.sort(lam)[::-1])
+    svd = st.SVD(st.DenseOperator(Ad), B=st.DenseOperator(Bd), nsv=3)
+    svd.solve()
+    assert svd.nconv >= 3
+    np.testing.assert_allclose(svd.sigma[:3], sig_ref[:3], rtol=1e-6)
+    for i in range(3):
+        x = svd.X[:, i]
+        r = Ad.T @ (Ad @ x) - svd.sigma[i] ** 2 * (Bd.T @ (Bd @ x))
+        assert np.linalg.norm(r) / np.linalg.norm(x) < 1e-6
+
+
+def test_svd_hsvd():
+    rng = np.random.default_rng(0)
+    m, n = 40, 25
+    Ad = rng.standard_normal((m, n))
+    om = np.sign(rng.standard_normal(m))
+    om[0] = 1
+    M = Ad.T @ (om[:, None] * Ad)
+    w = np.linalg.eigvalsh(0.5 * (M + M.T))
+    sig_ref = np.sqrt(np.sort(np.abs(w))[::-1])
+    svd = st.SVD(st.DenseOperator(Ad), omega=om, nsv=3)
+    svd.solve()
+    assert svd.nconv >= 3
+    np.testing.assert_allclose(svd.sigma[:3], sig_ref[:3], rtol=1e-6)
+    # hyperbolic orthogonality: U^T Omega U = diag(signs)
+    G = svd.U[:, :3].T @ (om[:, None] * svd.U[:, :3])
+    np.testing.assert_allclose(np.diag(G), svd.sign[:3], atol=1e-6)
