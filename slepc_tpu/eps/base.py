@@ -260,13 +260,44 @@ class EPS:
         if self.st is None:
             hermitian = self.problem_type in (
                 ProblemType.HEP, ProblemType.GHEP)
-            if self.target is not None or self.interval is not None:
+            mats = [self.A] if self.B is None else [self.A, self.B]
+            # ST options live under the global "st_" prefix (the reference's
+            # default ST prefix), not nested under "eps_"
+            sto = Options(self.options._values, "st_") if self.options else None
+            st_type = sto.get("type") if sto else None
+            ksp_opts = {}
+            if sto and "ksp_type" in sto:
+                ksp_opts["ksp_type"] = sto["ksp_type"]
+            sigma_opt = sto.get("shift") if sto else None
+            if st_type is not None:
+                from ..st.st import STCayley, STPrecond
+
+                table = {"shift": STShift, "sinvert": STSinvert,
+                         "cayley": STCayley, "precond": STPrecond}
+                cls = table.get(str(st_type))
+                if cls is None:
+                    raise EPSError(f"unknown st_type {st_type!r}; "
+                                   f"available: {sorted(table)}")
+                sigma = complex(sigma_opt) if sigma_opt is not None else (
+                    self.target if self.target is not None else 0.0)
+                if sigma.imag == 0:
+                    sigma = sigma.real
+                kw = {"ksp_opts": ksp_opts} if ksp_opts else {}
+                if cls is STSinvert:
+                    kw["hermitian"] = hermitian
+                self.st = cls(mats, sigma=sigma, **kw)
+                if (cls in (STSinvert, STCayley) and self.target is None):
+                    # sinvert without an explicit target: the wanted pairs
+                    # are those nearest the shift (largest in the
+                    # transformed spectrum) — align the sort criterion
+                    self.target = sigma
+                    self.which = Which.TARGET_MAGNITUDE
+            elif self.target is not None or self.interval is not None:
                 sigma = self.target if self.target is not None else (
                     self.interval[0] if self.interval else 0.0)
-                mats = [self.A] if self.B is None else [self.A, self.B]
-                self.st = STSinvert(mats, sigma=sigma, hermitian=hermitian)
+                self.st = STSinvert(mats, sigma=sigma, hermitian=hermitian,
+                                    ksp_opts=ksp_opts or None)
             else:
-                mats = [self.A] if self.B is None else [self.A, self.B]
                 self.st = STShift(mats, sigma=0.0)
 
     def _infer_problem_type(self):
@@ -394,6 +425,29 @@ class EPS:
         if error_type == "relative":
             return res / max(abs(lam), 1e-300)
         return res
+
+    def view(self):
+        """Print the solver configuration (reference: EPSView, epsview.c)."""
+        lines = [
+            "EPS Object:",
+            f"  solver: {self.solver_name}",
+            f"  problem type: {self.problem_type.value if self.problem_type else '(unset)'}",
+            f"  which: {self.which.value}"
+            + (f" (target={self.target})" if self.target is not None else "")
+            + (f" (interval={self.interval})" if self.interval is not None else ""),
+            f"  dimensions: nev={self.nev} ncv={self.ncv} mpd={self.mpd}",
+            f"  tolerances: tol={self.tol} max_it={self.max_it}",
+            f"  convergence test: {self.conv_test}",
+        ]
+        if self.st is not None:
+            lines.append(f"  ST: type={self.st.name} sigma={self.st.sigma}")
+            if getattr(self.st, "ksp", None) is not None:
+                lines.append(f"    KSP: method={self.st.ksp.method}")
+        if self.rg is not None:
+            lines.append(f"  RG: {type(self.rg).__name__}")
+        s = "\n".join(lines)
+        print(s)
+        return s
 
     def error_view(self):
         lines = [f"nconv={self.nconv} reason={self.reason.name} its={self.its}"]

@@ -38,14 +38,42 @@ class DirectSolver:
             if isinstance(A, DenseOperator):
                 backend = "dense"
             elif isinstance(A, (DIAOperator, AIJOperator)):
-                backend = "splu"
+                backend = "ldl" if self._is_symmetric_real() else "splu"
             else:
                 backend = "dense" if self.n <= 4096 else "splu"
         self.backend = backend
         self._factored = False
 
+    def _is_symmetric_real(self) -> bool:
+        if np.issubdtype(self.dtype, np.complexfloating):
+            return False
+        try:
+            import scipy.sparse as sp
+
+            As = self.A.to_scipy()
+            if not sp.issparse(As):
+                return bool(np.allclose(As, As.T, atol=1e-14))
+            d = As - As.T
+            return d.nnz == 0 or float(abs(d).max()) < 1e-14
+        except Exception:
+            return False
+
     def _factor(self):
         self._factored = True
+        if self.backend == "ldl":
+            from ..native.ldl import LDLFactorization, ldl_available
+
+            if ldl_available():
+                self._ldl = LDLFactorization(self.A.to_scipy())
+                neg, zero, pos = self._ldl.inertia()
+                if zero == 0 and (neg == 0 or pos == 0):
+                    return  # definite: unpivoted LDL^T solve is stable
+                # indefinite (or singular leading minors): without 2x2
+                # Bunch-Kaufman pivoting the LDL^T solve amplifies error;
+                # keep the factor for INERTIA only (the slicing primitive)
+                # and solve through LU — the reference splits the roles the
+                # same way (Cholesky for definite, LU for general).
+            self.backend = "splu"  # degrade the solve path
         if self.backend == "dense":
             Ad = self.A.to_dense() if not isinstance(self.A, DenseOperator) else self.A.A
             self._lu, self._piv = jax.scipy.linalg.lu_factor(Ad)
@@ -65,6 +93,16 @@ class DirectSolver:
             self._factor()
         if self.backend == "dense":
             return jax.scipy.linalg.lu_solve((self._lu, self._piv), b)
+        if self.backend == "ldl":
+            ldl = self._ldl
+
+            def host_solve(b_host):
+                return ldl.solve(np.asarray(b_host, dtype=np.float64)).astype(
+                    np.asarray(b_host).dtype, copy=False)
+
+            return jax.pure_callback(
+                host_solve, jax.ShapeDtypeStruct(jnp.shape(b), jnp.asarray(b).dtype),
+                b, vmap_method="sequential")
         # host splu via pure_callback: jit-safe, result shape = b shape
         splu = self._splu
 
@@ -82,6 +120,8 @@ class DirectSolver:
         """Solve A^H x = b (needed by two-sided methods)."""
         if not self._factored:
             self._factor()
+        if self.backend == "ldl":
+            return self.solve(b)  # symmetric factorization
         if self.backend == "dense":
             return jax.scipy.linalg.lu_solve((self._lu, self._piv), b, trans=2)
         splu = self._splu
@@ -104,10 +144,19 @@ class DirectSolver:
             else:
                 e = np.zeros(self.n - 1)
             return tridiag_inertia(d, e)
+        if self.backend == "ldl" and not self._factored:
+            self._factor()
+        if getattr(self, "_ldl", None) is not None:
+            return self._ldl.inertia()
         As = self.A.to_scipy()
         import scipy.sparse as sp
 
         if sp.issparse(As):
+            if self._is_symmetric_real():
+                from ..native.ldl import LDLFactorization, ldl_available
+
+                if ldl_available():
+                    return LDLFactorization(As).inertia()
             bw = _bandwidth(As)
             if bw <= 64:
                 return banded_ldlt_inertia(As, bw)

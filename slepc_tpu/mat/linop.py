@@ -182,12 +182,33 @@ class DIAOperator(LinearOperator):
     e.g. src/eps/tutorials/ex1.c).
     """
 
-    def __init__(self, offsets: Sequence[int], diags, shape=None):
+    def __init__(self, offsets: Sequence[int], diags, shape=None, dp=None):
         self.offsets = tuple(int(o) for o in offsets)
         self.diags = jnp.asarray(diags)  # (ndiag, n)
         n = self.diags.shape[1]
         self.shape = tuple(shape) if shape is not None else (n, n)
         self.dtype = self.diags.dtype
+        # Pallas-kernel data: prepared eagerly at (host-side) construction
+        # so it rides the pytree through jit traces
+        self.dp = dp
+        if dp is None and self._pallas_applicable():
+            from ..ops.dia_pallas import prepare_diags
+
+            self.dp = prepare_diags(self.diags, self.shape[0])
+
+    def _pallas_applicable(self) -> bool:
+        import jax as _jax
+
+        from ..ops.dia_pallas import dia_spmv_supported
+
+        try:
+            if isinstance(self.diags, _jax.core.Tracer):
+                return False
+            if len(_jax.devices()) != 1:
+                return False
+        except Exception:
+            return False
+        return dia_spmv_supported(self.offsets, self.shape[0], self.dtype)
 
     @property
     def nnz(self):
@@ -197,6 +218,10 @@ class DIAOperator(LinearOperator):
         return int(sum(n - abs(o) for o in self.offsets))
 
     def mult(self, x):
+        if x.ndim == 1 and self.dp is not None:
+            from ..ops.dia_pallas import dia_spmv_prepared
+
+            return dia_spmv_prepared(self.offsets, self.dp, x, self.shape[0])
         x2, was1 = _as2d(x)
         y = jnp.zeros_like(x2)
         for off, d in zip(self.offsets, self.diags):
@@ -228,12 +253,12 @@ class DIAOperator(LinearOperator):
         return sp.dia_matrix((data, np.array(self.offsets)), shape=self.shape).tocsr()
 
     def tree_flatten(self):
-        return (self.diags,), (self.offsets, self.shape)
+        return (self.diags, self.dp), (self.offsets, self.shape)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
-        obj.diags = children[0]
+        obj.diags, obj.dp = children
         obj.offsets, obj.shape = aux
         obj.dtype = getattr(obj.diags, "dtype", None)
         return obj

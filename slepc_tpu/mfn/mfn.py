@@ -37,6 +37,9 @@ class MFN:
     def __init__(self, A: Optional[LinearOperator] = None, fn: Optional[FN] = None,
                  ncv: int = 30, tol: Optional[float] = None, max_it: int = 100,
                  solver: str = "krylov"):
+        """solver: 'krylov' (Eiermann-Ernst restarts; any FN) or 'expokit'
+        (exp-specialized: adaptive Krylov dimension via the phi-function
+        error estimate — reference impls/expokit/mfnexpokit.c)."""
         self.A = A
         self.fn = fn if fn is not None else FNExp()
         self.ncv = ncv
@@ -69,6 +72,74 @@ class MFN:
         """Compute y = f(A) b (reference MFNSolve semantics: restarted
         Arnoldi, convergence when the restart update norm falls below tol
         — the Eiermann–Ernst criterion, mfnkrylov.c:110)."""
+        if self.solver == "expokit":
+            return self._solve_expokit(b)
+        return self._solve_krylov(b)
+
+    def _solve_expokit(self, b) -> jnp.ndarray:
+        """Exp-specialized time-stepping (reference mfnexpokit.c / EXPOKIT
+        dgexpv): y = alpha * exp(beta A) b via adaptive substeps
+        y <- exp(tau A) y, each a fixed-dimension Krylov approximation with
+        the phi-augmented Hessenberg supplying the local error estimate."""
+        from ..fn.fn import FNExp
+
+        if not isinstance(self.fn, FNExp):
+            return self._solve_krylov(b)
+        import scipy.linalg as sla
+
+        A = self.A
+        n = A.shape[0]
+        dtype = np.dtype(A.dtype)
+        if self.tol is None:
+            self.tol = 1e-8 if dtype.itemsize >= 8 else 1e-5
+        m = min(self.ncv, n, 30)
+        T = self.fn.beta  # total "time"
+        alpha = self.fn.alpha
+        y = jnp.asarray(b, dtype=dtype)
+        t_done = 0.0
+        tau = T  # try one step first; adapt down on error
+        self.its = 0
+        self.reason = MFNConvergedReason.ITERATING
+        while t_done < abs(T) * (1 - 1e-14):
+            self.its += 1
+            if self.its > self.max_it:
+                self.reason = MFNConvergedReason.DIVERGED_ITS
+                break
+            beta0 = float(jnp.linalg.norm(y))
+            if beta0 == 0:
+                break
+            V = BV(n, m + 1, dtype)
+            V.set_column(0, y / beta0)
+            H = jnp.zeros((m + 1, m), dtype=dtype)
+            Varr, H, hbeta, brk, _ = arnoldi_extend(A, V.array, H, 0, m, nc=0)
+            Hm = np.asarray(H)[:m, :m]
+            hb = float(hbeta)
+            frac = (abs(T) - t_done) / abs(T)
+            sgn = 1.0 if (np.isreal(T) and T >= 0) else (T / abs(T))
+            while True:
+                # phi-augmented: Hbar = [[tau H, e1],[0, 0]] (size m+1)
+                Hbar = np.zeros((m + 1, m + 1), dtype=complex if np.iscomplexobj(Hm) else float)
+                Hbar[:m, :m] = (sgn * tau) * Hm
+                Hbar[0, m] = 1.0
+                F = sla.expm(Hbar)
+                w = F[:m, 0]
+                err_loc = abs(beta0 * hb * tau * F[m - 1, m])
+                if err_loc <= self.tol * max(beta0, 1e-300) * max(tau / abs(T), 1e-14) \
+                        or tau < 1e-12 * abs(T):
+                    break
+                tau *= 0.5
+            y = beta0 * (Varr[:, :m] @ jnp.asarray(w, dtype=dtype))
+            t_done += tau
+            tau = min(2 * tau, abs(T) - t_done) if abs(T) - t_done > 0 else tau
+            if abs(T) - t_done <= 1e-14 * abs(T):
+                self.reason = MFNConvergedReason.CONVERGED_TOL
+                break
+            if bool(brk):
+                self.reason = MFNConvergedReason.CONVERGED_TOL
+                break
+        return alpha * y
+
+    def _solve_krylov(self, b) -> jnp.ndarray:
         A = self.A
         n = A.shape[0]
         dtype = np.dtype(A.dtype)

@@ -501,6 +501,35 @@ class NEP:
         self.rg = rg
         return self
 
+    def refine(self, steps: int = 3):
+        """Newton iterative refinement of converged pairs (reference:
+        NEPSetRefine simple scheme, interface/neprefine.c)."""
+        import jax.numpy as jnp
+
+        if self.nconv == 0 or self.n > 4096:
+            return self
+        from ..pep.pep import _bordered_newton_refine
+
+        def apply_T(lam, xj):
+            return self.T(lam).mult(xj)
+
+        def apply_Tp(lam, xj):
+            return self.Tprime(lam).mult(xj)
+
+        def dense_T(lam):
+            return np.asarray(self.T(lam).to_dense()).astype(complex)
+
+        self.eigenvalues = self.eigenvalues.astype(complex)
+        self._eigenvectors = self._eigenvectors.astype(complex)
+        for i in range(self.nconv):
+            lam, x = self.eigenvalues[i], self._eigenvectors[:, i]
+            lam2, x2 = _bordered_newton_refine(apply_T, apply_Tp, lam, x,
+                                               steps=steps, solve_dense=dense_T)
+            self.eigenvalues[i] = lam2
+            self._eigenvectors[:, i] = x2
+            self.errests[i] = self._residual(complex(lam2), jnp.asarray(x2))
+        return self
+
     # -- results ----------------------------------------------------------
     def get_converged(self):
         return self.nconv

@@ -47,8 +47,8 @@ def _dia_kernel(offsets: Tuple[int, ...], Rb: int,
             # shifted[i,j] = A[i,j+r] (j < W-r) else B[i,j+r-W]
             Bq = x3[Rb + q + 1: 2 * Rb + q + 1, :]
             # rotate left by r == rotate right by W - r (shift must be >= 0;
-            # int32 literal: x64 mode would emit an i64 rotate operand)
-            shift = jnp.asarray(W - r, dtype=jnp.int32)
+            # int32 scalar: x64 mode would emit an i64 rotate operand)
+            shift = np.int32(W - r)
             rollA = pltpu.roll(A, shift, axis=1)
             rollB = pltpu.roll(Bq, shift, axis=1)
             shifted = jnp.where(col < W - r, rollA, rollB)
@@ -57,15 +57,23 @@ def _dia_kernel(offsets: Tuple[int, ...], Rb: int,
     y_ref[:] = acc
 
 
-@partial(jax.jit, static_argnames=("offsets", "block_rows"))
-def dia_spmv(offsets: Tuple[int, ...], diags, x, block_rows: int = 256):
-    """y = DIA(offsets, diags) @ x via the Pallas 2-D sliding kernel.
-
-    diags: (ndiag, n) with out-of-range entries pre-zeroed (DIAOperator
-    storage convention).  Requires max|off| < block_rows * W.
-    """
-    n = x.shape[0]
+def prepare_diags(diags, n: int, block_rows: int = 64):
+    """Pad+reshape the diagonal data ONCE at operator setup: done per call
+    it would dominate the kernel cost (it is the largest array touched)."""
     nd = diags.shape[0]
+    Rb = block_rows
+    B = Rb * W
+    nblk = -(-n // B)
+    npad = nblk * B
+    return jnp.zeros((nd, npad), diags.dtype).at[:, :n].set(diags) \
+        .reshape(nd, nblk * Rb, W)
+
+
+@partial(jax.jit, static_argnames=("offsets", "n", "block_rows"))
+def dia_spmv_prepared(offsets: Tuple[int, ...], dp, x, n: int,
+                      block_rows: int = 64):
+    """y = DIA @ x with pre-prepared diagonal blocks (see prepare_diags)."""
+    nd = dp.shape[0]
     Rb = block_rows
     B = Rb * W
     nblk = -(-n // B)
@@ -74,29 +82,36 @@ def dia_spmv(offsets: Tuple[int, ...], diags, x, block_rows: int = 256):
     # one zero block of rows above and below for the neighbor index maps
     zrows = jnp.zeros((Rb, W), x.dtype)
     xp = jnp.concatenate([zrows, xp, zrows], axis=0)  # ((nblk+2)*Rb, W)
-    dp = jnp.zeros((nd, npad), diags.dtype).at[:, :n].set(diags) \
-        .reshape(nd, nblk * Rb, W)
 
     y = pl.pallas_call(
         partial(_dia_kernel, tuple(offsets), Rb),
         grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((Rb, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Rb, W), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Rb, W), lambda i: (i + 2, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nd, Rb, W), lambda i: (0, i, 0),
+            # NOTE: constants derived from i keep index dtypes uniform
+            # (mixed i32/i64 index tuples fail to legalize under x64 mode)
+            pl.BlockSpec((Rb, W), lambda i: (i, i * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Rb, W), lambda i: (i + 1, i * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Rb, W), lambda i: (i + 2, i * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nd, Rb, W), lambda i: (i * 0, i, i * 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((Rb, W), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((Rb, W), lambda i: (i, i * 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nblk * Rb, W), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * nd * n,
-            bytes_accessed=(diags.size + 4 * n) * x.dtype.itemsize,
+            bytes_accessed=(dp.size + 4 * n) * x.dtype.itemsize,
             transcendentals=0,
         ),
     )(xp, xp, xp, dp)
     return y.reshape(npad)[:n]
+
+
+def dia_spmv(offsets, diags, x, block_rows: int = 64):
+    """Convenience wrapper preparing diagonals per call (benchmarks use
+    dia_spmv_prepared with cached preparation)."""
+    dp = prepare_diags(diags, x.shape[0], block_rows)
+    return dia_spmv_prepared(tuple(offsets), dp, x, x.shape[0], block_rows)
 
 
 def dia_spmv_supported(offsets: Sequence[int], n: int, dtype,

@@ -130,6 +130,12 @@ class PEP:
         self.rg = rg
         return self
 
+    def refine(self, steps: int = 3):
+        """Newton iterative refinement of converged pairs (reference:
+        PEPSetRefine simple scheme, interface/peprefine.c)."""
+        refine_pep(self, steps)
+        return self
+
     def _solve_jd(self):
         """Polynomial Jacobi-Davidson (reference: src/pep/impls/jd/pjd.c):
         Davidson loop with the projected polynomial problem solved by
@@ -477,3 +483,73 @@ def _pjd_polish(pep, theta, x, tol, steps: int = 5):
     if abs(lam.imag) < 1e-13:
         lam = complex(lam.real)
     return lam, xc, e
+
+
+def _bordered_newton_refine(apply_T, apply_Tprime, lam, x, steps=3,
+                            solve_dense=None):
+    """Newton iterative refinement on the bordered system
+    [T(lam), T'(lam)x; x^H, 0] [dx; dlam] = [-r; 0]
+    (reference: the 'simple' scheme of peprefine.c / neprefine.c)."""
+    import jax.numpy as jnp
+
+    lam = complex(lam)
+    x = np.asarray(x, dtype=complex)
+    x = x / np.linalg.norm(x)
+    n = x.shape[0]
+    for _ in range(steps):
+        r = np.asarray(apply_T(lam, jnp.asarray(x)))
+        tp = np.asarray(apply_Tprime(lam, jnp.asarray(x)))
+        M = np.zeros((n + 1, n + 1), dtype=complex)
+        if solve_dense is None:
+            return lam, x  # no dense path available
+        Td = solve_dense(lam)
+        M[:n, :n] = Td
+        M[:n, n] = tp
+        M[n, :n] = x.conj()
+        rhs = np.concatenate([-r, [0.0]])
+        try:
+            sol = np.linalg.solve(M, rhs)
+        except np.linalg.LinAlgError:
+            break
+        x = x + sol[:n]
+        lam = lam + sol[n]
+        x = x / np.linalg.norm(x)
+    return lam, x
+
+
+def refine_pep(pep, steps: int = 3) -> None:
+    """Iterative refinement of all converged PEP pairs (PEPSetRefine
+    'simple' analog).  Dense bordered solves; sized for the projected/
+    moderate-n problems where refinement matters."""
+    import jax.numpy as jnp
+
+    if pep.nconv == 0 or pep.n > 4096:
+        return
+
+    def apply_T(lam, xj):
+        return pep.p_apply(lam, xj)
+
+    def apply_Tp(lam, xj):
+        y = None
+        for i, m in enumerate(pep.mats):
+            if i == 0:
+                continue
+            t = (i * lam ** (i - 1)) * np.asarray(m.mult(xj))
+            y = t if y is None else y + t
+        return y
+
+    def dense_T(lam):
+        return sum(lam**i * np.asarray(m.to_dense())
+                   for i, m in enumerate(pep.mats))
+
+    for i in range(pep.nconv):
+        lam, x = pep.eigenvalues[i], pep._eigenvectors[:, i]
+        lam2, x2 = _bordered_newton_refine(apply_T, apply_Tp, lam, x,
+                                           steps=steps, solve_dense=dense_T)
+        pep.eigenvalues = pep.eigenvalues.astype(complex)
+        pep.eigenvalues[i] = lam2
+        if np.iscomplexobj(pep._eigenvectors):
+            pep._eigenvectors[:, i] = x2
+        else:
+            pep._eigenvectors = pep._eigenvectors.astype(complex)
+            pep._eigenvectors[:, i] = x2
