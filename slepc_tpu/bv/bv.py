@@ -350,3 +350,27 @@ def _mgs_orth(V, mask, v, Bmult, omega, passes):
     Bv = v if Bmult is None else Bmult(v)
     na = _orth._safe_sqrt(jnp.vdot(v, Bv))
     return v, c_tot, nb, na
+
+
+def biorthogonalize_column(V: "BV", W: "BV", j: int):
+    """Two-sided (bi)orthogonalization: make W[:,j] satisfy
+    (W[:,i], V[:,j']) = delta for previous columns — the two-sided Lanczos
+    primitive (reference BVBiorthogonalizeColumn, bvbiorthog.c).
+
+    CGS2-style with the cross basis; returns the normalization factor
+    (w, v) whose sign/magnitude feeds the two-sided recurrence.
+    """
+    import jax.numpy as jnp
+
+    v = V.get_column(j)
+    w = W.get_column(j)
+    for _ in range(2):
+        if j > 0:
+            Wprev = W.array[:, W._phys(0): W._phys(j)]
+            Vprev = V.array[:, V._phys(0): V._phys(j)]
+            v = v - Vprev @ (Wprev.conj().T @ v)
+            w = w - Wprev @ (Vprev.conj().T @ w)
+    delta = jnp.vdot(w, v)
+    V.set_column(j, v)
+    W.set_column(j, w)
+    return delta

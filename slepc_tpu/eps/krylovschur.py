@@ -227,7 +227,11 @@ class KrylovSchur(EPSSolver):
                 err_locked[k + i] = errest[i]
             if Tproj is not None:
                 Tlock[k:k2, k:k2] = Tproj[: k2 - k, : k2 - k]
-                Tlock[:k, k:k2] = 0.0  # locked coupling dropped (below tol)
+                # coupling of previously-locked vectors to the newly locked
+                # directions: required for eigenVECTOR recovery from the
+                # accumulated Schur matrix (dropping it leaves eigenvalues
+                # intact but corrupts vectors of non-normal problems)
+                Tlock[:k, k:k2] = Hh[:k, k:nv] @ Q[:, : k2 - k]
             else:
                 for i in range(k2 - k):
                     Tlock[k + i, k + i] = (theta[i] if np.iscomplexobj(Tlock)
@@ -266,6 +270,8 @@ class KrylovSchur(EPSSolver):
                         Hh2[k2: k2 + l, k2: k2 + l] = blk.real if not cplx else blk
                         coup = Tproj[: k2 - k, k2 - k: k2 - k + l]
                         Hh2[k: k2, k2: k2 + l] = coup.real if not cplx else coup
+                        coup0 = Hh[:k, k:nv] @ Q[:, k2 - k: k2 - k + l]
+                        Hh2[:k, k2: k2 + l] = coup0.real if not cplx else coup0
                     # arrow row: residual coupling of kept vectors
                     arrow = beta * last[k2 - k: k2 - k + l]
                     Hh2[k2 + l, k2: k2 + l] = arrow.real if not cplx else arrow

@@ -24,3 +24,4 @@ from .generators import (
     random_sparse,
 )
 from .structured import create_tile, create_bse, MatBSE
+from . import petsc_io

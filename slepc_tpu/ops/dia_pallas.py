@@ -120,8 +120,8 @@ def dia_spmv_supported(offsets: Sequence[int], n: int, dtype,
     h = max((abs(o) for o in offsets), default=0)
     if h >= (block_rows - 1) * W or n < W:
         return False
-    if np.dtype(dtype).kind == "c":
-        return False
+    if np.dtype(dtype) != np.dtype(np.float32):
+        return False  # f64/complex path not yet validated on-device
     try:
         return jax.default_backend() == "tpu"
     except Exception:

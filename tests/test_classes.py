@@ -344,3 +344,42 @@ def test_st_filter():
                     spectral_range=(0.0, 4.0))
     vals = f.filter_value(np.array([0.2, 1.25, 3.0]))
     assert vals[1] > 5 * max(vals[0], vals[2])
+
+
+def test_petsc_binary_io(tmp_path):
+    """PETSc binary Mat/Vec round trip (reference datafile format)."""
+    import scipy.sparse as sp
+    from slepc_tpu.mat import petsc_io
+
+    rng = np.random.default_rng(0)
+    A = sp.random(40, 30, density=0.1, random_state=rng, format="csr")
+    p = str(tmp_path / "m.petsc")
+    petsc_io.write_petsc_matrix(p, A)
+    B = petsc_io.read_petsc_matrix(p)
+    assert (A != B).nnz == 0
+    op = petsc_io.load_operator(p)
+    x = rng.standard_normal(30)
+    np.testing.assert_allclose(np.asarray(op.mult(jnp.asarray(x))), A @ x,
+                               rtol=1e-12)
+    v = rng.standard_normal(40)
+    pv = str(tmp_path / "v.petsc")
+    petsc_io.write_petsc_vector(pv, v)
+    np.testing.assert_allclose(petsc_io.read_petsc_vector(pv), v)
+
+
+def test_bv_biorthogonalize():
+    from slepc_tpu.bv.bv import biorthogonalize_column
+
+    rng = np.random.default_rng(1)
+    n, m = 40, 5
+    V = st.BV(n, m)
+    W = st.BV(n, m)
+    V.insert_vecs(0, jnp.asarray(rng.standard_normal((n, m))))
+    W.insert_vecs(0, jnp.asarray(rng.standard_normal((n, m))))
+    for j in range(m):
+        delta = biorthogonalize_column(V, W, j)
+        # normalize to (w_j, v_j) = 1
+        V.scale_column(j, 1.0 / np.sqrt(np.abs(complex(delta))))
+        W.scale_column(j, np.sign(complex(delta).real) / np.sqrt(np.abs(complex(delta))))
+    G = W.to_numpy().T @ V.to_numpy()
+    np.testing.assert_allclose(G, np.eye(m), atol=1e-8)
