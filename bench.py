@@ -65,34 +65,64 @@ def main():
     sol_nnz_per_s = hbm_bw / bytes_per_nnz
     out["spmv_speed_of_light_nnz_per_s"] = sol_nnz_per_s
 
-    # ---- k=10 smallest of a 0.5M-row Laplacian: shift-and-invert ----
-    # (BASELINE config-1/2 semantics: the smallest end of a large
-    # Laplacian is relatively clustered against the spectral width, so
-    # the production route is sinvert — TPU Krylov/orth around a host
-    # sparse factorization, exactly the reference's division of labor)
+    # ---- interior eigenpairs on-chip: Chebyshev-filtered Krylov ----
+    # (pure-SpMV interior solve — the TPU-native many-eigenpair strategy;
+    # reference STFILTER role).  Closed-form spectrum certifies results.
     import slepc_tpu as st
-    from slepc_tpu.st.st import STSinvert
 
-    side2 = 707
-    A2 = laplacian_2d(side2, side2, dtype=np.float64)
-    exact = laplacian_2d_eigs(side2, side2, k=10)
+    side2 = 316  # ~100k rows
+    A2 = laplacian_2d(side2, side2, dtype=dtype)
+    exact_all = laplacian_2d_eigs(side2, side2)
+    a_i, b_i = 1.0, 1.002
+    inside = exact_all[(exact_all >= a_i) & (exact_all <= b_i)]
     t0 = time.perf_counter()
-    eps = st.EPS(A2, problem_type="hep", nev=10, ncv=32, tol=1e-8)
-    eps.set_target(0.0)
-    eps.set_st(STSinvert([A2], sigma=0.0, hermitian=True,
-                         ksp_opts={"direct_backend": "splu"}))
+    flt = st.STFilter([A2], interval=(a_i, b_i), degree=400,
+                      spectral_range=(0.0, 8.0))
+    eps = st.EPS(A2, problem_type="hep", which="largest_real",
+                 nev=min(10, max(len(inside), 1)), ncv=40, tol=1e-4)
+    eps.set_st(flt)
     eps.solve()
-    ks_dt = time.perf_counter() - t0
-    got = np.sort(eps.eigenvalues[: eps.nconv].real)[:10]
-    ok = eps.nconv >= 10 and np.allclose(got, exact[:10], rtol=1e-6)
-    out["ks_rows"] = side2 * side2
-    out["ks_nconv"] = int(eps.nconv)
-    out["ks_iters"] = int(eps.its)
-    out["ks_time_s"] = ks_dt
-    out["ks_correct"] = bool(ok)
-    out["ks_max_rel_residual"] = float(max(
-        (eps.compute_error(i) for i in range(min(eps.nconv, 10))), default=np.inf))
-    out["ks_eigenpairs_per_s"] = eps.nconv / ks_dt if ks_dt > 0 else 0.0
+    f_dt = time.perf_counter() - t0
+    lam = np.sort(eps.eigenvalues[: eps.nconv].real)
+    # certify: every reported pair matches a true eigenvalue in [a, b]
+    good = [bool(np.min(np.abs(exact_all - x)) < 1e-4) and a_i <= x <= b_i
+            for x in lam]
+    out["filter_rows"] = side2 * side2
+    out["filter_interval_count"] = int(len(inside))
+    out["filter_nconv"] = int(eps.nconv)
+    out["filter_all_certified"] = bool(all(good)) if good else False
+    out["filter_time_s"] = f_dt
+    out["filter_pairs_per_s"] = eps.nconv / f_dt if f_dt > 0 else 0.0
+
+    # ---- k=10 smallest via shift-and-invert (host-factorization
+    # workload — runs on the CPU backend like the reference's per-rank
+    # LU; the axon TPU plugin cannot host-callback mid-loop) ----
+    cpu = None
+    try:
+        cpu = jax.devices("cpu")[0]
+    except Exception:
+        pass
+    if cpu is not None:
+        from slepc_tpu.st.st import STSinvert
+
+        with jax.default_device(cpu):
+            side3 = 500
+            A3 = laplacian_2d(side3, side3, dtype=np.float64)
+            exact3 = laplacian_2d_eigs(side3, side3, k=10)
+            t0 = time.perf_counter()
+            eps3 = st.EPS(A3, problem_type="hep", nev=10, ncv=32, tol=1e-8)
+            eps3.set_target(0.0)
+            eps3.set_st(STSinvert([A3], sigma=0.0, hermitian=True,
+                                  ksp_opts={"direct_backend": "splu"}))
+            eps3.solve()
+            ks_dt = time.perf_counter() - t0
+            got = np.sort(eps3.eigenvalues[: eps3.nconv].real)[:10]
+            out["ks_rows"] = side3 * side3
+            out["ks_nconv"] = int(eps3.nconv)
+            out["ks_time_s"] = ks_dt
+            out["ks_correct"] = bool(eps3.nconv >= 10
+                                     and np.allclose(got, exact3, rtol=1e-6))
+            out["ks_eigenpairs_per_s"] = eps3.nconv / ks_dt if ks_dt > 0 else 0.0
 
     print(json.dumps({
         "metric": "spmv_nnz_per_s",

@@ -139,3 +139,69 @@ def _tridiag_to_hess(H, alpha, beta_arr, k):
     H = H.at[idx[:-1], idx[:-1] + 1].set(
         jnp.where(active[:-1], beta_arr[:-1], 0.0).astype(H.dtype))
     return H
+
+
+@partial(jax.jit, static_argnames=("passes",))
+def _orth_col(V, mask, w, Bop=None, omega=None, passes: int = 2):
+    """Jitted single-column CGS orthogonalization (host-loop building block)."""
+    from . import orthog as _o
+
+    return _o.orthogonalize_vec(V, mask, w, None if Bop is None else Bop.mult,
+                                omega, passes=passes)
+
+
+def arnoldi_extend_host(op, V, H, k, m, nc: int = 0, Bop=None, omega=None,
+                        key=None, passes: int = 2):
+    """Host-orchestrated Arnoldi extension for operators whose apply cannot
+    sit inside jit (host direct solves behind shift-and-invert; the axon
+    TPU plugin has no host-callback support).  Per column: one eager
+    operator apply + one jitted fused orthogonalization.  Same contract as
+    arnoldi_extend.
+    """
+    import numpy as np
+
+    n, mphys = V.shape
+    rdtype = jnp.zeros((), V.dtype).real.dtype
+    eps = float(jnp.finfo(rdtype).eps)
+    Hh = np.array(H, copy=True)
+    rng = np.random.default_rng(4321)
+    brk = False
+    k_i, m_i = int(k), int(m)
+    for j in range(k_i, m_i):
+        v = V[:, nc + j]
+        w = op.mult(v)
+        mask = (jnp.arange(mphys) < nc + j + 1).astype(rdtype)
+        w, c_tot, nb, na = _orth_col(V, mask, w, Bop, omega, passes=passes)
+        beta = float(jnp.real(na))
+        sgn = 1.0 if beta >= 0 else -1.0
+        beta_abs = abs(beta)
+        if beta_abs < eps ** 0.75 * (abs(float(jnp.real(nb))) + eps):
+            brk = True
+            rnd = jnp.asarray(rng.standard_normal(n), dtype=V.dtype)
+            rnd, _, _, na2 = _orth_col(V, mask, rnd, Bop, omega, passes=passes)
+            beta_abs = abs(float(jnp.real(na2)))
+            w = rnd
+            Hh[j + 1, j] = 0.0
+        else:
+            Hh[j + 1, j] = sgn * beta_abs
+        safe = beta_abs if beta_abs > 0 else 1.0
+        V = V.at[:, nc + j + 1].set(w / safe)
+        coeffs = np.asarray(c_tot[nc: nc + j + 1])
+        Hh[: j + 1, j] = coeffs
+        if brk:
+            Hh[j + 1, j] = 0.0
+        if omega is not None:
+            om = np.asarray(omega)
+            om[nc + j + 1] = sgn
+            omega = jnp.asarray(om)
+    beta_out = abs(Hh[m_i, m_i - 1]) if m_i > 0 else 0.0
+    return V, jnp.asarray(Hh, dtype=H.dtype), jnp.asarray(beta_out), \
+        jnp.asarray(brk), omega
+
+
+def extend_dispatch(op, V, H, k, m, nc=0, Bop=None, omega=None, key=None):
+    """Choose the jitted or host extension based on the operator's
+    host-callback requirement."""
+    if getattr(op, "host_callback", False):
+        return arnoldi_extend_host(op, V, H, k, m, nc, Bop, omega, key)
+    return arnoldi_extend(op, V, H, k, m, nc, Bop, omega, key)

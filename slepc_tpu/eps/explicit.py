@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..bv.bv import BV
-from ..bv.krylov import arnoldi_extend
+from ..bv.krylov import extend_dispatch
 from ..ds.schur import schur, schur_eigvectors, sort_schur
 from .base import EPS, EPSSolver
 from .krylovschur import _pair_keys
@@ -58,7 +58,7 @@ class _ExplicitRestartKrylov(EPSSolver):
         while eps.its < eps.max_it and k < nev:
             eps.its += 1
             H = jnp.zeros((ncv + 1, ncv), dtype=dtype)
-            V.array, H, beta_j, brk, _ = arnoldi_extend(
+            V.array, H, beta_j, brk, _ = extend_dispatch(
                 op, V.array, H, k, ncv, nc=nc, Bop=Bip)
             beta = float(beta_j)
             Hh = np.asarray(H)

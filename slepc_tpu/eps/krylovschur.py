@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..bv.bv import BV
-from ..bv.krylov import arnoldi_extend
+from ..bv.krylov import extend_dispatch
 from ..ds.schur import schur, schur_eigvectors, sort_schur
 from ..mat.linop import LinearOperator
 from ..st.filter import STFilter
@@ -127,7 +127,7 @@ class KrylovSchur(EPSSolver):
             nv = min(k + mpd, ncv)
 
             # ---- extension: jitted hot loop ----
-            V.array, H, beta_j, brk, omega = arnoldi_extend(
+            V.array, H, beta_j, brk, omega = extend_dispatch(
                 op, V.array, H, k + l, nv, nc=nc, Bop=Bip, omega=omega,
                 key=None)
             beta = float(beta_j)

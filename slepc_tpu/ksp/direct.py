@@ -100,10 +100,16 @@ class DirectSolver:
                 return ldl.solve(np.asarray(b_host, dtype=np.float64)).astype(
                     np.asarray(b_host).dtype, copy=False)
 
+            if not isinstance(b, jax.core.Tracer):
+                # eager: no callback machinery (the TPU plugin may not
+                # support host callbacks at all) — move, solve, move back
+                return jnp.asarray(host_solve(np.asarray(b)))
             return jax.pure_callback(
                 host_solve, jax.ShapeDtypeStruct(jnp.shape(b), jnp.asarray(b).dtype),
                 b, vmap_method="sequential")
-        # host splu via pure_callback: jit-safe, result shape = b shape
+        # host splu; pure_callback only under tracing (jit-safe on CPU;
+        # the axon TPU plugin lacks host callbacks, so solvers route
+        # host-direct operators through the eager Arnoldi path)
         splu = self._splu
 
         def host_solve(b_host):
@@ -112,6 +118,8 @@ class DirectSolver:
             x = splu.solve(b_np.astype(splu.U.dtype, copy=False))
             return x.astype(b_np.dtype, copy=False)
 
+        if not isinstance(b, jax.core.Tracer):
+            return jnp.asarray(host_solve(np.asarray(b)))
         return jax.pure_callback(
             host_solve, jax.ShapeDtypeStruct(jnp.shape(b), jnp.asarray(b).dtype), b,
             vmap_method="sequential")
@@ -131,6 +139,8 @@ class DirectSolver:
             x = splu.solve(b_np.astype(splu.U.dtype, copy=False), trans="H")
             return x.astype(b_np.dtype, copy=False)
 
+        if not isinstance(b, jax.core.Tracer):
+            return jnp.asarray(host_solve(np.asarray(b)))
         return jax.pure_callback(
             host_solve, jax.ShapeDtypeStruct(jnp.shape(b), jnp.asarray(b).dtype), b,
             vmap_method="sequential")

@@ -385,12 +385,16 @@ class ShellOperator(LinearOperator):
     """
 
     def __init__(self, shape, dtype, matvec: Callable, rmatvec: Optional[Callable] = None,
-                 nnz: Optional[int] = None):
+                 nnz: Optional[int] = None, host_callback: bool = False):
         self.shape = tuple(shape)
         self.dtype = np.dtype(dtype)
         self._matvec = matvec
         self._rmatvec = rmatvec
         self._nnz = nnz
+        # True when the apply contains a host-side solve that cannot be
+        # traced into jit on callback-less TPU plugins; Krylov loops then
+        # run their host-orchestrated variant (bv.krylov.extend_dispatch)
+        self.host_callback = host_callback
 
     @property
     def nnz(self):
@@ -405,12 +409,13 @@ class ShellOperator(LinearOperator):
         return self._rmatvec(x)
 
     def tree_flatten(self):
-        return (), (self.shape, str(self.dtype), self._matvec, self._rmatvec, self._nnz)
+        return (), (self.shape, str(self.dtype), self._matvec, self._rmatvec,
+                    self._nnz, self.host_callback)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        shape, dt, mv, rmv, nnz = aux
-        return cls(shape, np.dtype(dt), mv, rmv, nnz)
+        shape, dt, mv, rmv, nnz, hcb = aux
+        return cls(shape, np.dtype(dt), mv, rmv, nnz, host_callback=hcb)
 
 
 @register_pytree_node_class

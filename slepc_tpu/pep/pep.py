@@ -409,7 +409,10 @@ class _CompanionSinvert(ST):
                 zs.append(sigma * zs[i] + ws[i])
             return jnp.concatenate(zs, axis=0)
 
-        return ShellOperator((Nn, Nn), dtype, mv, nnz=sum(m.nnz for m in mats))
+        from ..st.st import _ksp_uses_host
+
+        return ShellOperator((Nn, Nn), dtype, mv, nnz=sum(m.nnz for m in mats),
+                             host_callback=_ksp_uses_host(ksp))
 
     def back_transform(self, eigs):
         return 1.0 / eigs + self.sigma

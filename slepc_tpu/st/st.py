@@ -133,6 +133,15 @@ class ST:
         return None
 
 
+def _ksp_uses_host(ksp) -> bool:
+    """True when the KSP's solve path runs on host (sparse LU / LDL^T) —
+    Krylov loops must then stay host-orchestrated on callback-less TPUs."""
+    if ksp.method != "direct":
+        return False
+    d = getattr(ksp, "_direct", None)
+    return d is not None and d.backend != "dense"
+
+
 class STShift(ST):
     """Op = A - sigma I (standard) / B^{-1}(A - sigma B) (generalized);
     lambda = theta + sigma.  Reference: impls/shift/shift.c."""
@@ -150,7 +159,8 @@ class STShift(ST):
             (n, n), self.A.dtype,
             lambda x: ksp.solve(S.mult(x)),
             lambda x: S.mult_h(ksp.solve_h(x) if hasattr(ksp, "solve_h") else ksp.solve(x)),
-            nnz=self.A.nnz + (self.B.nnz if self.B else 0))
+            nnz=self.A.nnz + (self.B.nnz if self.B else 0),
+            host_callback=_ksp_uses_host(ksp))
 
     def _make_ksp_on_B(self) -> KSP:
         opts = dict(self.ksp_opts)
@@ -189,7 +199,8 @@ class STSinvert(ST):
             mv = lambda x: ksp.solve(B.mult(x))
             rmv = (lambda x: B.mult_h(ksp._direct.solve_h(x))) if ksp.method == "direct" else None
         return ShellOperator((n, n), self.A.dtype, mv, rmv,
-                             nnz=self.A.nnz + (B.nnz if B else 0))
+                             nnz=self.A.nnz + (B.nnz if B else 0),
+                             host_callback=_ksp_uses_host(ksp))
 
     def back_transform(self, eigs):
         return 1.0 / eigs + self.sigma
@@ -217,7 +228,8 @@ class STCayley(ST):
         M = SumOperator((self.A, B), (1.0, self.nu))
         return ShellOperator((n, n), self.A.dtype,
                              lambda x: ksp.solve(M.mult(x)),
-                             nnz=2 * self.A.nnz)
+                             nnz=2 * self.A.nnz,
+                             host_callback=_ksp_uses_host(ksp))
 
     def back_transform(self, eigs):
         return (self.sigma * eigs + self.nu) / (eigs - 1.0)

@@ -61,13 +61,49 @@ def replicated_sharding(mesh: Optional[Mesh] = None) -> Optional[NamedSharding]:
 def device_put_rows(x, mesh: Optional[Mesh] = None):
     """Place an array with its first axis sharded over the row mesh.
 
-    Pads nothing: callers are expected to size n as a multiple of the mesh
-    when they care; jax handles uneven shardings for pjit inputs.
+    Sizes not divisible by the mesh stay replicated (uneven explicit
+    shardings are rejected by device_put; padding support is planned).
     """
+    mesh = mesh if mesh is not None else _mesh
     s = row_sharding(np.ndim(x), mesh)
-    if s is None:
+    if s is None or np.shape(x)[0] % mesh.shape[ROWS] != 0:
         return jax.device_put(x)
     return jax.device_put(x, s)
+
+
+def shard_operator(op, mesh: Optional[Mesh] = None):
+    """Place an operator's constituent arrays row-sharded on the mesh.
+
+    DIA: diagonals sharded along their length; AIJ: row-blocked data and
+    indices (the gather of x stays global — GSPMD inserts the all-gather,
+    the halo-ppermute specialization is the optimized path); Dense: rows.
+    Returns the same operator object with device-placed arrays.
+    """
+    import jax as _jax
+
+    from ..mat.linop import AIJOperator, DenseOperator, DIAOperator
+
+    mesh = mesh if mesh is not None else _mesh
+    if mesh is None:
+        return op
+    k = mesh.shape[ROWS]
+    if op.shape[0] % k != 0:
+        # uneven shardings need padding support (planned); stay replicated
+        return op
+    if isinstance(op, DIAOperator):
+        op.diags = _jax.device_put(op.diags, NamedSharding(mesh, P(None, ROWS)))
+        if op.dp is not None:
+            op.dp = _jax.device_put(op.dp, NamedSharding(mesh, P(None, ROWS, None)))
+    elif isinstance(op, AIJOperator):
+        s = NamedSharding(mesh, P(ROWS, None))
+        op.indices = _jax.device_put(op.indices, s)
+        op.data = _jax.device_put(op.data, s)
+        if op.indices_t is not None:
+            op.indices_t = _jax.device_put(op.indices_t, s)
+            op.data_t = _jax.device_put(op.data_t, s)
+    elif isinstance(op, DenseOperator):
+        op.A = _jax.device_put(op.A, NamedSharding(mesh, P(ROWS, None)))
+    return op
 
 
 def nrows_padded(n: int, mesh: Optional[Mesh] = None) -> int:
