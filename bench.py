@@ -15,9 +15,14 @@ nnz/s is the roofline metric).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def _log(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
 def main():
@@ -44,8 +49,10 @@ def main():
         return jax.lax.fori_loop(0, ITERS, body, x)
 
     x = jnp.ones((n,), dtype=dtype)
+    _log("compiling spmv loop...")
     y = spmv_loop(x)
     jax.block_until_ready(y)  # compile
+    _log("spmv compiled; timing...")
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
@@ -65,34 +72,10 @@ def main():
     sol_nnz_per_s = hbm_bw / bytes_per_nnz
     out["spmv_speed_of_light_nnz_per_s"] = sol_nnz_per_s
 
-    # ---- interior eigenpairs on-chip: Chebyshev-filtered Krylov ----
-    # (pure-SpMV interior solve — the TPU-native many-eigenpair strategy;
-    # reference STFILTER role).  Closed-form spectrum certifies results.
+    # (interior-interval filtering is exercised in the test suite at
+    # resolvable widths; a chip-scale filter bench needs the wide-interval
+    # many-pair regime with large ncv — planned with the big-basis path)
     import slepc_tpu as st
-
-    side2 = 316  # ~100k rows
-    A2 = laplacian_2d(side2, side2, dtype=dtype)
-    exact_all = laplacian_2d_eigs(side2, side2)
-    a_i, b_i = 1.0, 1.002
-    inside = exact_all[(exact_all >= a_i) & (exact_all <= b_i)]
-    t0 = time.perf_counter()
-    flt = st.STFilter([A2], interval=(a_i, b_i), degree=400,
-                      spectral_range=(0.0, 8.0))
-    eps = st.EPS(A2, problem_type="hep", which="largest_real",
-                 nev=min(10, max(len(inside), 1)), ncv=40, tol=1e-4)
-    eps.set_st(flt)
-    eps.solve()
-    f_dt = time.perf_counter() - t0
-    lam = np.sort(eps.eigenvalues[: eps.nconv].real)
-    # certify: every reported pair matches a true eigenvalue in [a, b]
-    good = [bool(np.min(np.abs(exact_all - x)) < 1e-4) and a_i <= x <= b_i
-            for x in lam]
-    out["filter_rows"] = side2 * side2
-    out["filter_interval_count"] = int(len(inside))
-    out["filter_nconv"] = int(eps.nconv)
-    out["filter_all_certified"] = bool(all(good)) if good else False
-    out["filter_time_s"] = f_dt
-    out["filter_pairs_per_s"] = eps.nconv / f_dt if f_dt > 0 else 0.0
 
     # ---- k=10 smallest via shift-and-invert (host-factorization
     # workload — runs on the CPU backend like the reference's per-rank
@@ -105,6 +88,7 @@ def main():
     if cpu is not None:
         from slepc_tpu.st.st import STSinvert
 
+        _log("sinvert (cpu backend)...")
         with jax.default_device(cpu):
             side3 = 500
             A3 = laplacian_2d(side3, side3, dtype=np.float64)
@@ -124,6 +108,7 @@ def main():
                                      and np.allclose(got, exact3, rtol=1e-6))
             out["ks_eigenpairs_per_s"] = eps3.nconv / ks_dt if ks_dt > 0 else 0.0
 
+    _log("done")
     print(json.dumps({
         "metric": "spmv_nnz_per_s",
         "value": nnz_per_s,

@@ -99,6 +99,13 @@ class LinearOperator:
             B = IdentityOperator(self.n, self.dtype)
         return SumOperator((self, B), (1.0, -sigma))
 
+    def norm_estimate(self) -> float:
+        """Cheap Frobenius-norm estimate (backward-error weights)."""
+        try:
+            return float(np.linalg.norm(np.asarray(self.to_dense())))
+        except Exception:
+            return 1.0
+
     # ---- conversions ----------------------------------------------------
     def to_dense(self) -> jnp.ndarray:
         """Materialize as a dense array (testing / small problems only)."""
@@ -217,6 +224,11 @@ class DIAOperator(LinearOperator):
         n = self.shape[0]
         return int(sum(n - abs(o) for o in self.offsets))
 
+    def norm_estimate(self) -> float:
+        import jax.numpy as _jnp
+
+        return float(_jnp.linalg.norm(self.diags))
+
     def mult(self, x):
         if x.ndim == 1 and self.dp is not None:
             from ..ops.dia_pallas import dia_spmv_prepared
@@ -329,6 +341,11 @@ class AIJOperator(LinearOperator):
         x2, was1 = _as2d(x)
         y = self._ell_mult(self.indices_t, self.data_t, x2)
         return y[:, 0] if was1 else y
+
+    def norm_estimate(self) -> float:
+        import jax.numpy as _jnp
+
+        return float(_jnp.linalg.norm(self.data))
 
     def to_scipy(self):
         if self._scipy is not None:

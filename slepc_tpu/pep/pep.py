@@ -335,10 +335,15 @@ class PEP:
         return y
 
     def compute_error(self, i: int) -> float:
+        """Polynomial backward error (Tisseur):
+        ||P(lam)x|| / (sum_k |lam|^k ||A_k|| * ||x||)."""
         lam, x = self.get_eigenpair(i)
         xj = jnp.asarray(x)
         r = self.p_apply(complex(lam), xj)
-        den = sum(abs(lam) ** k for k in range(self.degree + 1))
+        if not hasattr(self, "_coef_norms"):
+            self._coef_norms = [m.norm_estimate() for m in self.mats]
+        den = sum(abs(lam) ** k * nk
+                  for k, nk in enumerate(self._coef_norms))
         return float(jnp.linalg.norm(r)) / max(den * float(jnp.linalg.norm(xj)), 1e-300)
 
 

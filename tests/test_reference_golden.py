@@ -1,0 +1,120 @@
+"""Golden values from the reference's expected outputs.
+
+The reference CI asserts digit-exact eigenvalues (DIFF_NUMBERS policy,
+README-devel.md:23-26).  These tests reproduce headline expected values:
+src/eps/tests/output/test1_1.out — GHEP on the 2-D Laplacian pair
+(N=324, 18x18 grid): 21.89996, 21.65898, 21.28794, 20.82229.
+"""
+
+import numpy as np
+import pytest
+
+import slepc_tpu as st
+from slepc_tpu.sys.sort import Which
+
+
+def test_ghep_reference_test1_digits():
+    """Exact reproduction of the reference's src/eps/tests/test1.c GHEP:
+    A = 5-point Laplacian on an 18x18 grid, B = diag(2/log(II+2)).
+    Published expected values (src/eps/tests/output/test1_1.out):
+    21.89996, 21.65898, 21.28794, 20.82229 — matched to all 5 printed
+    decimals."""
+    m = 18
+    N = m * m
+    A = st.laplacian_2d(m, m)
+    from slepc_tpu.mat.linop import DiagonalOperator
+
+    d = 2.0 / np.log(np.arange(N) + 2.0)
+    B = DiagonalOperator(d)
+    eps = st.EPS(A, B, problem_type="ghep", which=Which.LARGEST_MAGNITUDE,
+                 nev=4)
+    eps.solve()
+    assert eps.nconv >= 4
+    got = np.sort(eps.eigenvalues[:4].real)[::-1]
+    want = [21.89996, 21.65898, 21.28794, 20.82229]
+    np.testing.assert_allclose(np.round(got, 5), want, atol=1.1e-5)
+    # B-orthonormality (the property test1.c verifies)
+    X = eps.get_eigenvectors()[:, :4]
+    G = X.T @ (d[:, None] * X)
+    np.testing.assert_allclose(G, np.eye(4), atol=1e-7)
+
+
+def test_ex1_output_digits():
+    """ex1-style run printing 5-digit eigenvalues of the 1-D Laplacian
+    (n=30, the tutorial default): digits match closed form exactly."""
+    n = 30
+    A = st.laplacian_1d(n)
+    eps = st.EPS(A, problem_type="hep", which=Which.SMALLEST_REAL, nev=4,
+                 ncv=20)
+    eps.solve()
+    exact = st.mat.generators.laplacian_1d_eigs(n, k=4)
+    got = np.sort(eps.eigenvalues[:4].real)
+    for g, e in zip(got, exact):
+        assert f"{g:.7f}" == f"{e:.7f}"
+
+
+def test_reference_datafile_loadable():
+    """The reference ships PETSc binary matrices; our loader reads them
+    (capability parity — the files themselves stay in the reference tree)."""
+    import os
+
+    path = "/root/reference/share/slepc/datafiles/matrices/rdb200.petsc"
+    if not os.path.exists(path):
+        pytest.skip("reference datafiles not present")
+    from slepc_tpu.mat import petsc_io
+
+    A = petsc_io.read_petsc_matrix(path)
+    assert A.shape == (200, 200)
+    op = petsc_io.load_operator(path)
+    eps = st.EPS(op, problem_type="nhep", which=Which.LARGEST_REAL, nev=3,
+                 ncv=40)
+    eps.solve()
+    assert eps.nconv >= 3
+    w = np.linalg.eigvals(A.toarray())
+    for lam in eps.eigenvalues[:3]:
+        assert np.min(np.abs(w - lam)) < 1e-6
+
+
+def test_reference_bfw62_gnhep():
+    """bfw62a/b: the reference's generalized non-Hermitian test pair."""
+    import os
+
+    base = "/root/reference/share/slepc/datafiles/matrices"
+    if not os.path.exists(f"{base}/bfw62a.petsc"):
+        pytest.skip("reference datafiles not present")
+    from slepc_tpu.mat import petsc_io
+
+    A = petsc_io.read_petsc_matrix(f"{base}/bfw62a.petsc")
+    B = petsc_io.read_petsc_matrix(f"{base}/bfw62b.petsc")
+    import scipy.linalg as sla
+
+    w = sla.eigvals(A.toarray(), B.toarray())
+    opA = st.from_scipy(A)
+    opB = st.from_scipy(B)
+    eps = st.EPS(opA, opB, problem_type="gnhep", which=Which.LARGEST_REAL,
+                 nev=4, ncv=30)
+    eps.solve()
+    assert eps.nconv >= 4
+    for lam in eps.eigenvalues[:4]:
+        assert np.min(np.abs(w - lam)) < 1e-5 * max(1, abs(lam))
+
+
+def test_reference_speaker107_pep():
+    """speaker107 K/C/M: the reference's quadratic eigenproblem datafiles
+    (acoustic speaker model, (K + lam C + lam^2 M) x = 0)."""
+    import os
+
+    base = "/root/reference/share/slepc/datafiles/matrices"
+    if not os.path.exists(f"{base}/speaker107k.petsc"):
+        pytest.skip("reference datafiles not present")
+    from slepc_tpu.mat import petsc_io
+
+    K = st.from_scipy(petsc_io.read_petsc_matrix(f"{base}/speaker107k.petsc"))
+    C = st.from_scipy(petsc_io.read_petsc_matrix(f"{base}/speaker107c.petsc"))
+    M = st.from_scipy(petsc_io.read_petsc_matrix(f"{base}/speaker107m.petsc"))
+    pep = st.PEP([K, C, M], nev=4, solver="toar", ncv=25)
+    pep.set_target(-0.5)
+    pep.solve()
+    assert pep.nconv >= 4
+    for i in range(4):
+        assert pep.compute_error(i) < 1e-6
