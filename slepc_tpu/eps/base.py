@@ -90,7 +90,9 @@ class EPS:
         self.stopping: Optional[Callable] = None
         self.conv_test = "rel"  # rel | abs | norm (EPSSetConvergenceTest)
         self.purify = True
-        self.balance = None
+        self.balance = None  # None | 'krylov' (EPSSetBalance)
+        self.balance_its = 5
+        self.extraction = "ritz"  # ritz | harmonic (EPSSetExtraction)
         self.initial_space: Optional[np.ndarray] = None
         self.deflation_space: Optional[np.ndarray] = None
         self.true_residual = False
@@ -216,6 +218,30 @@ class EPS:
 
     def set_two_sided(self, flg: bool = True):
         self.two_sided = flg
+        return self
+
+    def set_balance(self, kind: str = "krylov", its: int = 5):
+        """Enable matrix-free balancing for non-Hermitian problems
+        (reference EPSSetBalance; Chen-Demmel Krylov balancing)."""
+        self.balance = kind
+        self.balance_its = its
+        return self
+
+    def set_extraction(self, kind: str):
+        """'ritz' (default) or 'harmonic' (interior-friendly projected
+        extraction; reference EPSSetExtraction EPS_HARMONIC).
+
+        NOTE: the harmonic translate/recover path is EXPERIMENTAL in this
+        release — selection and restart are implemented but convergence on
+        interior targets is not yet at parity; prefer sinvert targets.
+        """
+        assert kind in ("ritz", "harmonic")
+        if kind == "harmonic":
+            import warnings
+
+            warnings.warn("harmonic extraction is experimental; prefer "
+                          "shift-and-invert for interior targets")
+        self.extraction = kind
         return self
 
     # -- derived defaults --------------------------------------------------

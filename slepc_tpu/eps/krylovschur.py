@@ -58,6 +58,14 @@ class KrylovSchur(EPSSolver):
         op = st.op()
         n, ncv, nev, mpd = eps.n, eps.ncv, eps.nev, eps.mpd
         hermitian = eps.is_hermitian and not getattr(st, "requires_rayleigh", False)
+        # matrix-free balancing (EPSSetBalance; NHEP shift problems only)
+        balance_d = None
+        if (eps.balance and not hermitian and eps.B is None
+                and type(st).__name__ == "STShift" and st.sigma == 0):
+            from .balance import balanced_operator, krylov_balance
+
+            balance_d = krylov_balance(eps.A, its=eps.balance_its)
+            op = balanced_operator(eps.A, balance_d)
         # use the Hermitian fast path also for filtered runs (A Hermitian)
         if isinstance(st, STFilter):
             hermitian = eps.is_hermitian
@@ -154,6 +162,37 @@ class KrylovSchur(EPSSolver):
                 theta = theta.astype(complex)
                 Tproj = None
             else:
+                harmonic = eps.extraction == "harmonic"
+                hfac = 1.0
+                S_orig = None
+                if harmonic:
+                    # harmonic Ritz translate (EPS_HARMONIC; reference
+                    # DSTranslateHarmonic): solve (S - tau I)^H f = e_last,
+                    # S_h = S + beta^2 f e_last^H; Schur/sort happen on S_h
+                    # (harmonic values select interior pairs), locking and
+                    # restart RECOVER projections of the original S so the
+                    # Krylov relation stays exact.
+                    tau = 0.0
+                    if eps.target is not None:
+                        tau = complex(np.asarray(
+                            st.eig_map(np.array([eps.target]))).ravel()[0])
+                        if not cplx and abs(tau.imag) < 1e-300:
+                            tau = tau.real
+                    na_h = S.shape[0]
+                    e_last = np.zeros(na_h, dtype=S.dtype)
+                    e_last[-1] = 1.0
+                    try:
+                        f = np.linalg.solve(
+                            (S - tau * np.eye(na_h)).conj().T, e_last)
+                        if beta ** 2 * np.linalg.norm(f) < 1e8:
+                            S_orig = S.copy()
+                            g_harm = (beta ** 2) * f
+                            upd = np.outer(g_harm, e_last)
+                            S = S + (upd.real if not np.iscomplexobj(S) else upd)
+                            hfac = float(np.sqrt(1.0 + np.linalg.norm(g_harm) ** 2
+                                                 / max(beta, 1e-300) ** 2))
+                    except np.linalg.LinAlgError:
+                        S_orig = None
                 Tproj, Q, theta = schur(S)
 
             # ---- sort wanted-first (keys on back-transformed values) ----
@@ -183,6 +222,12 @@ class KrylovSchur(EPSSolver):
                         i += 2
                     else:
                         i += 1
+            harmonic_on = Tproj is not None and 'S_orig' in dir() and S_orig is not None
+            if harmonic_on:
+                # per-column residual bound for the harmonic factorization:
+                # coupling = beta*v(e^HQ_i) - V Q_{>i}(Q^Hg)_{>i}(e^HQ_i)
+                resid = np.abs(last) * float(
+                    np.sqrt(beta ** 2 + np.linalg.norm(g_harm) ** 2))
             errest = np.array([eps.conv_measure(theta[i], resid[i]) for i in range(na)])
             if eps.rg is not None:
                 outside = eps.rg.check_inside(lam_approx) < 0
@@ -225,8 +270,15 @@ class KrylovSchur(EPSSolver):
             for i in range(k2 - k):
                 eigs_locked[k + i] = lam_approx[i]
                 err_locked[k + i] = errest[i]
+            Tuse = Tproj
+            if harmonic_on:
+                # recovered TRUE projection: T_h - (Q^H g)(e^H Q)
+                qg = Q.conj().T @ g_harm
+                Tuse = Tproj - np.outer(qg, last)
+                if not np.iscomplexobj(Tlock):
+                    Tuse = Tuse.real
             if Tproj is not None:
-                Tlock[k:k2, k:k2] = Tproj[: k2 - k, : k2 - k]
+                Tlock[k:k2, k:k2] = Tuse[: k2 - k, : k2 - k]
                 # coupling of previously-locked vectors to the newly locked
                 # directions: required for eigenVECTOR recovery from the
                 # accumulated Schur matrix (dropping it leaves eigenvalues
@@ -266,9 +318,9 @@ class KrylovSchur(EPSSolver):
                         for i in range(l):
                             Hh2[k2 + i, k2 + i] = theta[k2 - k + i].real
                     else:
-                        blk = Tproj[k2 - k: k2 - k + l, k2 - k: k2 - k + l]
+                        blk = Tuse[k2 - k: k2 - k + l, k2 - k: k2 - k + l]
                         Hh2[k2: k2 + l, k2: k2 + l] = blk.real if not cplx else blk
-                        coup = Tproj[: k2 - k, k2 - k: k2 - k + l]
+                        coup = Tuse[: k2 - k, k2 - k: k2 - k + l]
                         Hh2[k: k2, k2: k2 + l] = coup.real if not cplx else coup
                         coup0 = Hh[:k, k:nv] @ Q[:, k2 - k: k2 - k + l]
                         Hh2[:k, k2: k2 + l] = coup0.real if not cplx else coup0
@@ -278,6 +330,21 @@ class KrylovSchur(EPSSolver):
                 H = jnp.asarray(Hh2, dtype=dtype)
 
                 # ---- move residual vector to column k2 + l ----
+                if not done and harmonic_on:
+                    # residual-vector update absorbing the dropped coupling:
+                    # u_hat = beta*v_res - V(g - Q_kept (Q^H g)_kept)
+                    c_u = -(g_harm - Q[:, :kl] @ qg[:kl])
+                    c_uj = jnp.asarray(c_u.real if not cplx else c_u, dtype=dtype)
+                    Vact_h = V.array[:, nc + k: nc + nv]
+                    vres_h = V.array[:, nc + nv]
+                    u_hat = beta * vres_h + Vact_h @ c_uj
+                    un = float(jnp.linalg.norm(u_hat))
+                    if un > 0:
+                        V.array = V.array.at[:, nc + nv].set(u_hat / un)
+                        arrow_h = un * last[k2 - k: k2 - k + l]
+                        Hh2[k2 + l, k2: k2 + l] = (arrow_h.real if not cplx
+                                                   else arrow_h)
+                        H = jnp.asarray(Hh2, dtype=dtype)
                 if not done:
                     vres = V.array[:, nc + nv]
                     V.array = V.array.at[:, nc + k2 + l].set(vres)
@@ -320,6 +387,11 @@ class KrylovSchur(EPSSolver):
             X = X[:, order]
             err_locked[:k] = err_locked[:k][order]
 
+        if balance_d is not None and k > 0:
+            X = np.asarray(X) * balance_d[:, None]
+            nrmb = np.linalg.norm(X, axis=0)
+            nrmb[nrmb == 0] = 1
+            X = X / nrmb
         eps.eigenvalues = np.asarray(lam)
         eps.errests = err_locked[:k].copy()
         eps._eigenvectors = np.asarray(X)

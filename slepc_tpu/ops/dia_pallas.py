@@ -126,3 +126,93 @@ def dia_spmv_supported(offsets: Sequence[int], n: int, dtype,
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+def _dia_kernel2(offsets: Tuple[int, ...], Rb: int, nblk: int,
+                 xm_ref, xc_ref, xp_ref, d_ref, y_ref):
+    """Padded-layout variant: grid covers nblk+2 stored blocks; halo
+    blocks (first/last) are written as zeros so the OUTPUT is a valid
+    padded input for the next application (zero-copy chained SpMV)."""
+    i = pl.program_id(0)
+
+    @pl.when(jnp.logical_or(i == 0, i == nblk + 1))
+    def _():
+        y_ref[:] = jnp.zeros((Rb, W), y_ref.dtype)
+
+    @pl.when(jnp.logical_and(i > 0, i <= nblk))
+    def _():
+        x3 = jnp.concatenate([xm_ref[:], xc_ref[:], xp_ref[:]], axis=0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (Rb, W), 1)
+        acc = None
+        for k, off in enumerate(offsets):
+            q, r = divmod(off, W)
+            A = x3[Rb + q: 2 * Rb + q, :]
+            if r == 0:
+                shifted = A
+            else:
+                Bq = x3[Rb + q + 1: 2 * Rb + q + 1, :]
+                shift = np.int32(W - r)
+                rollA = pltpu.roll(A, shift, axis=1)
+                rollB = pltpu.roll(Bq, shift, axis=1)
+                shifted = jnp.where(col < W - r, rollA, rollB)
+            term = d_ref[k] * shifted
+            acc = term if acc is None else acc + term
+        y_ref[:] = acc
+
+
+@partial(jax.jit, static_argnames=("offsets", "n", "block_rows"))
+def dia_spmv_padded(offsets: Tuple[int, ...], dp, xp, n: int,
+                    block_rows: int = 64):
+    """SpMV wholly in the padded layout: xp and the returned yp are
+    ((nblk+2)*Rb, W) arrays whose first/last Rb rows are zero halo.
+
+    Eliminates the per-call pad/unpad copies of dia_spmv_prepared — the
+    chained-SpMV loops (Krylov extension, filter recurrences, the bench)
+    apply it back-to-back at kernel speed.
+    """
+    nd = dp.shape[0]
+    Rb = block_rows
+    nblk = -(-n // (Rb * W))
+    y = pl.pallas_call(
+        partial(_dia_kernel2, tuple(offsets), Rb, nblk),
+        grid=(nblk + 2,),
+        in_specs=[
+            pl.BlockSpec((Rb, W), lambda i: (jnp.maximum(i - 1, i * 0), i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Rb, W), lambda i: (i, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Rb, W),
+                         lambda i: (jnp.minimum(i + 1, i * 0 + (nblk + 1)), i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nd, Rb, W),
+                         lambda i: (i * 0,
+                                    jnp.minimum(jnp.maximum(i - 1, i * 0),
+                                                i * 0 + (nblk - 1)),
+                                    i * 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Rb, W), lambda i: (i, i * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(((nblk + 2) * Rb, W), xp.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nd * n,
+            bytes_accessed=(dp.size + 3 * n) * xp.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(xp, xp, xp, dp)
+    return y
+
+
+def pad_vec(x, n: int, block_rows: int = 64):
+    """x (n,) -> padded layout ((nblk+2)*Rb, W)."""
+    Rb = block_rows
+    B = Rb * W
+    nblk = -(-n // B)
+    xp = jnp.zeros(((nblk + 2) * Rb, W), x.dtype)
+    body = jnp.zeros(nblk * B, x.dtype).at[:n].set(x).reshape(nblk * Rb, W)
+    return jax.lax.dynamic_update_slice(xp, body, (Rb, 0))
+
+
+def unpad_vec(xp, n: int, block_rows: int = 64):
+    Rb = block_rows
+    return xp[Rb:, :].reshape(-1)[:n]

@@ -132,3 +132,21 @@ def test_bse_structure():
         lam, z = eps.get_eigenpair(i)
         r = Hd @ z - lam * z
         assert np.linalg.norm(r) < 1e-6
+
+
+def test_krylov_balance():
+    """Matrix-free Chen-Demmel balancing improves accuracy on badly
+    scaled non-normal matrices (reference EPSSetBalance)."""
+    rng = np.random.default_rng(0)
+    n = 80
+    D = np.diag(10.0 ** rng.uniform(-3, 3, n))
+    M0 = rng.standard_normal((n, n)) / np.sqrt(n)
+    Ad = np.linalg.solve(D, M0) @ D  # similar to M0, horribly scaled
+    w_ref = np.linalg.eigvals(M0)
+    eps = st.EPS(st.DenseOperator(Ad), problem_type="nhep", nev=3, ncv=40,
+                 max_it=300)
+    eps.set_balance()
+    eps.solve()
+    assert eps.nconv >= 3
+    for lam in eps.eigenvalues[:3]:
+        assert np.min(np.abs(w_ref - lam)) < 1e-7
