@@ -191,7 +191,7 @@ def arnoldi_extend_host(op, V, H, k, m, nc: int = 0, Bop=None, omega=None,
         if brk:
             Hh[j + 1, j] = 0.0
         if omega is not None:
-            om = np.asarray(omega)
+            om = np.array(omega, copy=True)
             om[nc + j + 1] = sgn
             omega = jnp.asarray(om)
     beta_out = abs(Hh[m_i, m_i - 1]) if m_i > 0 else 0.0

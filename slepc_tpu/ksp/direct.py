@@ -116,6 +116,8 @@ class DirectSolver:
             b_np = np.asarray(b_host)
             # splu solves in the factorization dtype; cast carefully
             x = splu.solve(b_np.astype(splu.U.dtype, copy=False))
+            if np.iscomplexobj(x) and not np.iscomplexobj(b_np):
+                return x  # complex factor, real rhs: keep the complex result
             return x.astype(b_np.dtype, copy=False)
 
         if not isinstance(b, jax.core.Tracer):

@@ -46,9 +46,11 @@ class NEP:
         self.rg = None
         self.nconv = 0
         self.its = 0
+        self.two_sided = False
         self.eigenvalues = np.array([], dtype=complex)
         self.errests = np.array([])
         self._eigenvectors: Optional[np.ndarray] = None
+        self._left_eigenvectors: Optional[np.ndarray] = None
 
     # -- problem definition -----------------------------------------------
     def set_split_operators(self, mats: Sequence[LinearOperator],
@@ -127,7 +129,40 @@ class NEP:
             self._solve_nleigs()
         else:
             raise ValueError(f"unknown NEP solver {self.solver!r}")
+        if self.two_sided:
+            _attach_two_sided(self)
         return self
+
+    def set_two_sided(self, flg: bool = True):
+        self.two_sided = flg
+        return self
+
+    def get_left_eigenvector(self, i: int) -> np.ndarray:
+        if self._left_eigenvectors is None:
+            raise ValueError("no left eigenvectors (enable set_two_sided)")
+        return self._left_eigenvectors[:, i]
+
+    def apply_resolvent(self, z: complex, v) -> np.ndarray:
+        """Action of the resolvent from the computed eigentriplets
+        (reference: NEPApplyResolvent, interface/nepresolv.c):
+        R(z) v = sum_i x_i (y_i^H v) / ((z - lam_i) * (y_i^H T'(lam_i) x_i)).
+        Requires a two-sided solve."""
+        import jax.numpy as _jnp
+
+        if self._left_eigenvectors is None:
+            _attach_two_sided(self)
+        v = np.asarray(v, dtype=complex)
+        out = np.zeros_like(v)
+        for i in range(self.nconv):
+            lam = complex(self.eigenvalues[i])
+            x = self._eigenvectors[:, i].astype(complex)
+            y = self._left_eigenvectors[:, i]
+            tp = np.asarray(self.Tprime(lam).mult(_jnp.asarray(x)))
+            denom = (z - lam) * (y.conj() @ tp)
+            if abs(denom) < 1e-300:
+                continue
+            out += x * ((y.conj() @ v) / denom)
+        return out
 
     def _residual(self, lam, x):
         r = self.T(lam).mult(x)
@@ -578,3 +613,33 @@ def _rayleigh_functional(nep: NEP, lam: complex, x, maxit: int = 20) -> complex:
         if abs(dz) < 1e-14 * max(1.0, abs(z)):
             break
     return z
+
+
+def _nep_left_vector(nep: "NEP", lam: complex, x: np.ndarray) -> np.ndarray:
+    """Left eigenvector y: y^H T(lam) = 0, via inverse iteration on
+    T(lam)^H (reference: NEP two-sided support, nepimpl.h twosided)."""
+    n = nep.n
+    Td = np.asarray(nep.T(lam).to_dense()).astype(complex)
+    rng = np.random.default_rng(7)
+    y = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    y /= np.linalg.norm(y)
+    M = Td.conj().T + 1e-13 * np.eye(n)  # tiny regularization at the root
+    for _ in range(5):
+        try:
+            y = np.linalg.solve(M, y)
+        except np.linalg.LinAlgError:
+            break
+        y /= np.linalg.norm(y)
+    return y
+
+
+def _attach_two_sided(nep: "NEP") -> None:
+    """Compute left eigenvectors for all converged pairs."""
+    if nep.nconv == 0 or nep.n > 4096:
+        nep._left_eigenvectors = None
+        return
+    Y = np.zeros((nep.n, nep.nconv), dtype=complex)
+    for i in range(nep.nconv):
+        Y[:, i] = _nep_left_vector(nep, complex(nep.eigenvalues[i]),
+                                   nep._eigenvectors[:, i])
+    nep._left_eigenvectors = Y

@@ -111,13 +111,16 @@ class PEP:
     def solve(self):
         if self.solver == "linear":
             self._solve_linear()
-        elif self.solver in ("toar", "qarnoldi", "stoar"):
-            # qarnoldi/stoar share the compact-basis Krylov engine; the
-            # symmetric (stoar) pseudo-Lanczos specialization is a planned
-            # refinement (reference stoar.c)
+        elif self.solver in ("toar", "qarnoldi"):
+            # qarnoldi shares the compact-basis Krylov engine
             from .toar import toar_solve
 
             toar_solve(self)
+        elif self.solver == "stoar":
+            # symmetric pseudo-Lanczos on the symmetric linearization
+            from .stoar import stoar_solve
+
+            stoar_solve(self)
         elif self.solver == "jd":
             self._solve_jd()
         elif self.solver == "ciss":

@@ -178,7 +178,7 @@ def toar_solve(pep) -> None:
             if brk:
                 nv = j + 1
                 break
-        beta = abs(float(H[nv, nv - 1])) if nv < ncv + 1 else 0.0
+        beta = float(abs(H[nv, nv - 1])) if nv < ncv + 1 else 0.0
         Smat = H[k:nv, k:nv]
         Tproj, Q, mu = schur(Smat)
         keys = sc.keys(mu)

@@ -110,3 +110,44 @@ def test_svd_hsvd():
     # hyperbolic orthogonality: U^T Omega U = diag(signs)
     G = svd.U[:, :3].T @ (om[:, None] * svd.U[:, :3])
     np.testing.assert_allclose(np.diag(G), svd.sign[:3], atol=1e-6)
+
+
+def test_nep_two_sided_resolvent():
+    """Left eigenvectors and resolvent action (reference nepresolv.c)."""
+    mats, fns = _delay_problem()
+    nep = st.NEP(nev=2, solver="ciss", target=-1.0, tol=1e-10)
+    nep.set_split_operators(mats, fns)
+    nep.set_rg(st.RGEllipse(center=-1.0, radius=1.5, vscale=0.5))
+    nep.set_two_sided()
+    nep.solve()
+    assert nep.nconv >= 2
+    lam0, x0 = nep.get_eigenpair(0)
+    y0 = nep.get_left_eigenvector(0)
+    T = sum(complex(f.eval(lam0)) * np.asarray(m.A) for m, f in zip(mats, fns))
+    assert np.linalg.norm(y0.conj() @ T) / np.linalg.norm(y0) < 1e-8
+    # resolvent near the pole aligns with the right eigenvector
+    v = np.random.default_rng(0).standard_normal(mats[0].shape[0])
+    Rv = nep.apply_resolvent(complex(lam0) + 1e-4, v)
+    c = np.abs(np.vdot(x0, Rv)) / (np.linalg.norm(Rv) * np.linalg.norm(x0))
+    assert c > 0.99
+
+
+def test_pep_stoar_overdamped():
+    """STOAR: symmetric pseudo-Lanczos on the symmetric linearization
+    (reference stoar.c) — overdamped/hyperbolic QEP, all-real spectrum."""
+    n = 60
+    K = np.diag(np.full(n, 2.0)) + np.diag(np.full(n - 1, -1.0), 1) \
+        + np.diag(np.full(n - 1, -1.0), -1)
+    C = 10 * np.eye(n) + 0.5 * (np.diag(np.full(n - 1, 1.0), 1)
+                                + np.diag(np.full(n - 1, 1.0), -1))
+    M = np.eye(n)
+    Ab = np.block([[np.zeros((n, n)), np.eye(n)], [-K, -C]])
+    wref = np.linalg.eigvals(Ab)
+    pep = st.PEP([st.DenseOperator(K), st.DenseOperator(C),
+                  st.DenseOperator(M)], nev=4, solver="stoar")
+    pep.set_target(-0.4)
+    pep.solve()
+    assert pep.nconv >= 4
+    for i in range(4):
+        assert pep.compute_error(i) < 1e-8
+        assert np.min(np.abs(wref - pep.eigenvalues[i])) < 1e-8
