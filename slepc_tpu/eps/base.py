@@ -227,6 +227,19 @@ class EPS:
         self.balance_its = its
         return self
 
+    def set_arbitrary_selection(self, fn):
+        """Sort candidates by a user functional of (value, Ritz vector)
+        (reference EPSSetArbitrarySelection); smaller = wanted first."""
+        self.arbitrary = fn
+        return self
+
+    def set_true_residual(self, flg: bool = True):
+        """Confirm convergence with explicit residuals on the ORIGINAL
+        problem instead of the transformed-space Krylov estimate
+        (reference EPSSetTrueResidual)."""
+        self.true_residual = flg
+        return self
+
     def set_extraction(self, kind: str):
         """'ritz' (default) or 'harmonic' (interior-friendly projected
         extraction; reference EPSSetExtraction EPS_HARMONIC).

@@ -198,6 +198,19 @@ class KrylovSchur(EPSSolver):
             # ---- sort wanted-first (keys on back-transformed values) ----
             lam_approx = st.back_transform(theta)
             keys = sc.keys(lam_approx)
+            if eps.arbitrary is not None:
+                # arbitrary-selection functional (reference
+                # EPSSetArbitrarySelection, krylovschur.c:35): keys from a
+                # user function of the (value, Ritz vector) pair
+                if Tproj is None:
+                    Yc = Q
+                else:
+                    _, Yc = np.linalg.eig(Tproj)
+                    Yc = Q @ Yc
+                Vact_a = np.asarray(V.array[:, nc + k: nc + nv])
+                Xc = Vact_a @ Yc
+                keys = np.array([float(eps.arbitrary(lam_approx[i], Xc[:, i]))
+                                 for i in range(nv - k)])
             if Tproj is None:
                 order = np.argsort(keys, kind="stable")
                 theta = theta[order]
@@ -229,6 +242,27 @@ class KrylovSchur(EPSSolver):
                 resid = np.abs(last) * float(
                     np.sqrt(beta ** 2 + np.linalg.norm(g_harm) ** 2))
             errest = np.array([eps.conv_measure(theta[i], resid[i]) for i in range(na)])
+            if eps.true_residual:
+                # EPSSetTrueResidual: confirm candidate convergence with the
+                # explicit residual ||A x - lam B x|| on the original problem
+                if Tproj is None:
+                    Yc = Q
+                else:
+                    _, Yc = np.linalg.eig(Tproj)
+                    Yc = Q @ Yc
+                Vact_t = V.array[:, nc + k: nc + nv]
+                i = 0
+                while i < na and errest[i] < eps.tol:
+                    x_i = Vact_t @ jnp.asarray(
+                        Yc[:, i].real if not cplx and not np.iscomplexobj(Yc)
+                        else Yc[:, i])
+                    lam_i = lam_approx[i]
+                    r_i = eps.A.mult(x_i)
+                    bx = eps.B.mult(x_i) if eps.B is not None else x_i
+                    rn = float(jnp.linalg.norm(r_i - lam_i * bx)) / max(
+                        float(jnp.linalg.norm(x_i)), 1e-300)
+                    errest[i] = eps.conv_measure(lam_i, rn)
+                    i += 1
             if eps.rg is not None:
                 outside = eps.rg.check_inside(lam_approx) < 0
                 errest = np.where(outside, np.inf, errest)

@@ -26,6 +26,7 @@ from ..mat.linop import LinearOperator
 class LMEProblemType(enum.Enum):
     LYAPUNOV = "lyapunov"  # A X + X A^T + C C^H = 0
     SYLVESTER = "sylvester"  # A X + X B + C = 0
+    GEN_LYAPUNOV = "gen_lyapunov"  # A X E^T + E X A^T + C C^H = 0
     STEIN = "stein"  # A X A^T - X + C = 0
 
 
@@ -62,17 +63,40 @@ class LME:
             self.max_it = max_it
         return self
 
-    def solve(self, C1: np.ndarray) -> np.ndarray:
-        """Solve A X + X A^T + C1 C1^H = 0; returns Z with X ≈ Z Z^H
-        (reference LMESolve with low-rank rhs/solution).
+    def solve(self, C1: np.ndarray, C2: np.ndarray = None) -> np.ndarray:
+        """Solve the configured equation (reference LMESolve).
 
-        Krylov projection: build an Arnoldi basis V_m for (A, C1), solve
-        the projected Lyapunov H Y + Y H^T + (V^H C1)(V^H C1)^H = 0 on
-        host, expand when the residual is too large (restart by growing m,
-        lmekrylov.c strategy).
+        LYAPUNOV: A X + X A^H + C1 C1^H = 0 -> returns Z, X ~ Z Z^H.
+        GEN_LYAPUNOV: A X E^H + E X A^H + C1 C1^H = 0 (E = self.B) ->
+          reduced to standard form with F = E^{-1}A, C~ = E^{-1}C1.
+        SYLVESTER: A X + X B + C1 C2^H = 0 -> Krylov-projected two-sided
+          solve for large operators (returns (L, R): X ~ L R^H) or the
+          dense kernel for small ones.
+        STEIN: dense kernel.
         """
+        if self.problem_type == LMEProblemType.GEN_LYAPUNOV:
+            from ..ksp import KSP
+            from ..mat.linop import ShellOperator
+
+            E = self.B
+            ksp = KSP(E, method="direct")
+            A0 = self.A
+            n = A0.shape[0]
+            F = ShellOperator((n, n), A0.dtype,
+                              lambda x: ksp.solve(A0.mult(x)),
+                              host_callback=True)
+            C1 = np.atleast_2d(np.asarray(C1))
+            if C1.shape[0] != n:
+                C1 = C1.T
+            Ct = np.column_stack([np.asarray(ksp.solve(jnp.asarray(
+                C1[:, j], dtype=A0.dtype))) for j in range(C1.shape[1])])
+            sub = LME(F, ncv=self.ncv, tol=self.tol, max_it=self.max_it)
+            return sub.solve(Ct)
+        if self.problem_type == LMEProblemType.SYLVESTER and self.A.shape[0] > 600:
+            return self._solve_sylvester_krylov(C1, C2)
         if self.problem_type != LMEProblemType.LYAPUNOV:
-            return self._solve_sylvester_like(C1)
+            return self._solve_sylvester_like(C1 if C2 is None else
+                                              np.atleast_2d(C1) @ np.atleast_2d(C2).conj().T)
         A = self.A
         n = A.shape[0]
         dtype = np.dtype(A.dtype)
@@ -121,6 +145,47 @@ class LME:
             Zs.append(Zj)
         Z = np.concatenate(Zs, axis=1) if Zs else np.zeros((n, 0))
         return Z
+
+    def _solve_sylvester_krylov(self, C1: np.ndarray, C2: np.ndarray):
+        """Two-sided Krylov projection for large Sylvester equations with
+        low-rank rhs C = C1 C2^H (reference lmekrylov.c strategy applied
+        two-sided): bases V = K(A, C1), W = K(B^H, C2); solve the small
+        projected Sylvester; X ~ L R^H."""
+        import scipy.linalg as sla
+
+        from ..bv.bv import BV
+        from ..bv.krylov import extend_dispatch
+
+        A, Bop = self.A, self.B
+        n, m2 = A.shape[0], Bop.shape[0]
+        dtype = np.dtype(A.dtype)
+        C1 = np.atleast_2d(np.asarray(C1))
+        C2 = np.atleast_2d(np.asarray(C2))
+        if C1.shape[0] != n:
+            C1 = C1.T
+        if C2.shape[0] != m2:
+            C2 = C2.T
+        mdim = min(self.ncv, n, m2)
+        # rank-1 columns processed jointly through shared bases
+        v0 = C1[:, 0] / np.linalg.norm(C1[:, 0])
+        w0 = C2[:, 0] / np.linalg.norm(C2[:, 0])
+        Vb = BV(n, mdim + 1, dtype)
+        Vb.set_column(0, jnp.asarray(v0, dtype=dtype))
+        Wb = BV(m2, mdim + 1, dtype)
+        Wb.set_column(0, jnp.asarray(w0, dtype=dtype))
+        HA = jnp.zeros((mdim + 1, mdim), dtype=dtype)
+        HB = jnp.zeros((mdim + 1, mdim), dtype=dtype)
+        from ..mat.linop import AdjointOperator
+
+        Varr, HA, _, _, _ = extend_dispatch(A, Vb.array, HA, 0, mdim)
+        Warr, HB, _, _, _ = extend_dispatch(AdjointOperator(Bop), Wb.array, HB, 0, mdim)
+        V = np.asarray(Varr[:, :mdim])
+        W = np.asarray(Warr[:, :mdim])
+        Ap = np.asarray(HA)[:mdim, :mdim]
+        Bp = np.asarray(HB)[:mdim, :mdim].conj().T  # W^H B W
+        Cp = (V.conj().T @ C1) @ (C2.conj().T @ W)
+        Y = sla.solve_sylvester(Ap, Bp, -Cp)
+        return V @ Y, W  # X ~ (V Y) W^H
 
     def _solve_sylvester_like(self, C: np.ndarray) -> np.ndarray:
         """Dense fallback for Sylvester/Stein (small n) — the dense kernels

@@ -204,3 +204,42 @@ def test_lme_sylvester_dense():
                  problem_type="sylvester")
     X = lme.solve(C)
     np.testing.assert_allclose(A @ X + X @ B + C, np.zeros_like(C), atol=1e-9)
+
+
+def test_lme_gen_lyapunov():
+    """Generalized Lyapunov A X E^T + E X A^T + C C^T = 0 via reduction
+    to standard form (reference LME_GEN_LYAPUNOV)."""
+    from slepc_tpu.lme.lme import LME
+
+    rng = np.random.default_rng(0)
+    n = 50
+    Ad = -2 * np.eye(n) + 0.3 * rng.standard_normal((n, n)) / np.sqrt(n)
+    Ed = np.eye(n) + 0.1 * rng.standard_normal((n, n)) / np.sqrt(n)
+    C1 = rng.standard_normal((n, 2))
+    lme = LME(st.DenseOperator(Ad), B=st.DenseOperator(Ed),
+              problem_type="gen_lyapunov", ncv=40, tol=1e-10)
+    Z = lme.solve(C1)
+    X = Z @ Z.T
+    R = Ad @ X @ Ed.T + Ed @ X @ Ad.T + C1 @ C1.T
+    assert np.linalg.norm(R) / np.linalg.norm(C1 @ C1.T) < 1e-8
+
+
+def test_lme_sylvester_krylov():
+    """Large-scale Sylvester via two-sided Krylov projection."""
+    import scipy.sparse as sp
+    from slepc_tpu.lme.lme import LME
+
+    rng = np.random.default_rng(0)
+    n2, m2 = 700, 650
+    A2 = st.from_scipy(sp.diags([-np.ones(n2 - 1), -3 * np.ones(n2),
+                                 -np.ones(n2 - 1)], [-1, 0, 1]).tocsr())
+    B2 = st.from_scipy(sp.diags([np.ones(m2 - 1), 8 * np.ones(m2),
+                                 np.ones(m2 - 1)], [-1, 0, 1]).tocsr())
+    c1 = rng.standard_normal((n2, 1))
+    c2 = rng.standard_normal((m2, 1))
+    lme2 = LME(A2, B=B2, problem_type="sylvester", ncv=40)
+    L, R2 = lme2.solve(c1, c2)
+    X2 = L @ R2.T
+    Rres = np.asarray(A2.to_scipy() @ X2) + X2 @ np.asarray(
+        B2.to_scipy().toarray()) + c1 @ c2.T
+    assert np.linalg.norm(Rres) / np.linalg.norm(c1 @ c2.T) < 1e-10
