@@ -31,6 +31,7 @@ class CISS(EPSSolver):
     blocksize = 16  # L (reference -eps_ciss_blocksize)
     moments = 4  # M (reference -eps_ciss_moments)
     refine = 2  # refinement iterations
+    extraction = "rr"  # 'rr' (Rayleigh-Ritz) | 'hankel' (Beyn block-Hankel)
 
     def solve(self, eps: EPS) -> None:
         rg = eps.rg
@@ -82,6 +83,48 @@ class CISS(EPSSolver):
                 for k in range(M):
                     S[:, k * L: (k + 1) * L] += (w[j] * zk) * Y
                     zk *= z[j]
+
+            extraction = getattr(eps, "ciss_extraction", self.extraction)
+            if extraction == "hankel":
+                # block-Hankel (Beyn) extraction: eigenvalues directly from
+                # the moment pencil (reference EPS_CISS_EXTRACTION_HANKEL)
+                mhat = M // 2
+                Sk = [S[:, k2 * L: (k2 + 1) * L] for k2 in range(M)]
+                H0 = np.block([[Sk[i2 + j2] for j2 in range(mhat)]
+                               for i2 in range(mhat)])
+                H1 = np.block([[Sk[i2 + j2 + 1] for j2 in range(mhat)]
+                               for i2 in range(mhat)])
+                Uh, svh, Wh = np.linalg.svd(H0, full_matrices=False)
+                rk = max(int(np.sum(svh > 1e-11 * max(svh[0] if svh.size
+                                                      else 0, 1e-300))), 1)
+                U1, s1, W1 = Uh[:, :rk], svh[:rk], Wh[:rk, :].conj().T
+                Bm = U1.conj().T @ H1 @ W1 / s1[None, :]
+                wv, Yb = np.linalg.eig(Bm)
+                Xc = U1[:n, :] @ Yb
+                inside = rg.check_inside(wv) >= 0
+                wv, Xc = wv[inside], Xc[:, inside]
+                nrm = np.linalg.norm(Xc, axis=0)
+                ok_cols = nrm > 1e-12
+                wv, Xc, nrm = wv[ok_cols], Xc[:, ok_cols], nrm[ok_cols]
+                Xc = Xc / nrm
+                Xj = jnp.asarray(Xc)
+                R = np.asarray(A.mult(Xj)) - (np.asarray(B.mult(Xj))
+                                              if B is not None
+                                              else np.asarray(Xj)) * wv[None, :]
+                rn = np.linalg.norm(R, axis=0)
+                errs = rn / np.maximum(np.abs(wv), 1e-300)
+                order = np.argsort(wv.real)
+                lam, X, errs = wv[order], Xc[:, order], errs[order]
+                eps.monitor(eps, eps.its, int(np.sum(errs < eps.tol)), lam, errs)
+                if lam.size and np.max(errs) < eps.tol:
+                    break
+                V = np.real(X) if not np.iscomplexobj(np.zeros(1, eps.A.dtype)) else X
+                if V.shape[1] < L:
+                    V = np.concatenate([V, rng.standard_normal((n, L - V.shape[1]))],
+                                       axis=1)
+                else:
+                    V = V[:, :L]
+                continue
 
             # rank-revealing orthonormalization of S (BVSVDAndRank analog)
             Q, sv, _ = np.linalg.svd(S, full_matrices=False)

@@ -28,9 +28,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@partial(jax.jit, static_argnames=("ncv", "which", "passes"))
+@partial(jax.jit, static_argnames=("ncv", "which", "passes", "reorth_period"))
 def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
-                 passes: int = 2):
+                 passes: int = 2, reorth_period: int = 1):
     """One Krylov-Schur(HEP) restart cycle.
 
     Args:
@@ -52,23 +52,62 @@ def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
     rdtype = jnp.zeros((), V.dtype).real.dtype
     eps_mach = jnp.finfo(rdtype).eps
 
-    # ---- extension: j0 -> ncv (fused-reduction CGS2 per column) ----
+    # ---- extension: j0 -> ncv (fused-reduction CGS2 per column;
+    # reorth_period > 1 = periodic reorthogonalization (the reference's
+    # EPS_LANCZOS_REORTHOG_PERIODIC): three-term recurrence between full
+    # sweeps, ~(ncv/3)x less orth bandwidth.  EXPERIMENTAL: without the
+    # omega-recurrence drift monitor the basis loses orthogonality over
+    # many restarts — reliable for few-restart runs only. ----
     def body(j, state):
         V, H = state
         v = V[:, j]
         w = op.mult(v)
         mask = (jnp.arange(ncv + 1) < j + 1).astype(rdtype)
-        c = (V.conj().T @ w) * mask
-        w = w - V @ c
-        c_tot = c
-        for _ in range(passes - 1):
-            c2 = (V.conj().T @ w) * mask
-            w = w - V @ c2
-            c_tot = c_tot + c2
+
+        def full_orth(w):
+            # CGS with IFNEEDED refinement (reference bvorthog.c eta
+            # criterion, in-graph): second sweep only when the Pythagorean
+            # estimate signals cancellation — typically halves the
+            # orthogonalization bandwidth vs unconditional CGS2
+            nb2 = jnp.real(jnp.vdot(w, w))
+            c = (V.conj().T @ w) * mask
+            w1 = w - V @ c
+            est2 = nb2 - jnp.real(jnp.vdot(c, c))
+            eta2 = 0.5  # eta = 1/sqrt(2)
+            if passes <= 1:
+                return w1, c
+            def refine(args):
+                w1, c = args
+                c2 = (V.conj().T @ w1) * mask
+                return w1 - V @ c2, c + c2
+            return jax.lax.cond(est2 < eta2 * nb2, refine,
+                                lambda a: a, (w1, c))
+
+        if reorth_period > 1:
+            def local_orth(w):
+                j0loc = jnp.maximum(j - 1, 0)
+                Vloc = jax.lax.dynamic_slice(V, (0, j0loc), (V.shape[0], 2))
+                locmask = ((jnp.arange(2) + j0loc) < j + 1).astype(rdtype)
+                cl = (Vloc.conj().T @ w) * locmask
+                w = w - Vloc @ cl
+                cl2 = (Vloc.conj().T @ w) * locmask
+                w = w - Vloc @ cl2
+                c_tot = jnp.zeros(ncv + 1, dtype=V.dtype)
+                c_tot = jax.lax.dynamic_update_slice(c_tot, cl + cl2, (j0loc,))
+                return w, c_tot
+
+            w, c_tot = jax.lax.cond(
+                jnp.logical_or(j % reorth_period == 0, j == j0),
+                full_orth, local_orth, w)
+        else:
+            w, c_tot = full_orth(w)
         beta = jnp.linalg.norm(w)
         # breakdown -> deterministic random restart direction
         is_brk = beta < eps_mach ** 0.75 * (jnp.linalg.norm(c_tot) + eps_mach)
         rnd = jax.random.normal(jax.random.fold_in(key, j), (n,), rdtype).astype(V.dtype)
+        opmask = getattr(op, "mask", None)
+        if opmask is not None:
+            rnd = rnd * opmask  # padded layouts: keep halo components zero
         rnd = rnd - V @ ((V.conj().T @ rnd) * mask)
         rnd = rnd - V @ ((V.conj().T @ rnd) * mask)
         rbeta = jnp.linalg.norm(rnd)
@@ -120,6 +159,7 @@ def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
         theta.astype(H.dtype) * keep)
     arrow = (beta * last).astype(H.dtype) * keep
     Hnew = jax.lax.dynamic_update_slice(Hnew, arrow[None, :], (kl, 0))
+
     return V, Hnew, kl, k2, theta, errest, beta
 
 
@@ -133,6 +173,15 @@ def ks_hep_solve(eps, op, which: str, Bip=None) -> bool:
         return False
     n, ncv = eps.n, eps.ncv
     dtype = np.dtype(eps.A.dtype)
+    padded = None
+    from ..mat.linop import DIAOperator
+
+    if isinstance(op, DIAOperator) and op.dp is not None:
+        from ..ops.dia_pallas import DIAPaddedOperator
+
+        padded = DIAPaddedOperator.from_dia(op)
+        op = padded
+        n = padded.n_pad
     if np.issubdtype(dtype, np.complexfloating):
         pass  # complex Hermitian is fine
     rng = np.random.default_rng(0)
@@ -142,6 +191,14 @@ def ks_hep_solve(eps, op, which: str, Bip=None) -> bool:
     if eps.initial_space is not None:
         v0 = np.asarray(eps.initial_space[:, 0])
     v0 = v0 / np.linalg.norm(v0)
+    if padded is not None:
+        rng0 = np.random.default_rng(0)
+        base = rng0.standard_normal(eps.n)
+        if eps.initial_space is not None:
+            base = np.asarray(eps.initial_space[:, 0])
+        v0j = padded.pad(jnp.asarray(base, dtype=dtype))
+        v0 = np.asarray(v0j)
+        v0 = v0 / np.linalg.norm(v0)
 
     from ..sys.mesh import device_put_rows
 
@@ -158,7 +215,8 @@ def ks_hep_solve(eps, op, which: str, Bip=None) -> bool:
     while eps.its < eps.max_it:
         eps.its += 1
         V, H, j0, k2j, theta, errest, beta = ks_hep_cycle(
-            op, V, H, j0, eps.tol, key, ncv=ncv, which=which)
+            op, V, H, j0, eps.tol, key, ncv=ncv, which=which,
+            reorth_period=getattr(eps, "reorth_period", 1))
         k2 = int(k2j)
         if len(eps.monitor):
             eps.monitor(eps, eps.its, k2, np.asarray(theta), np.asarray(errest))
@@ -177,7 +235,14 @@ def ks_hep_solve(eps, op, which: str, Bip=None) -> bool:
     errest = np.asarray(errest)
     st = eps.st
     lam = st.back_transform(theta[:k2].astype(complex))
-    X = np.asarray(V[:, :k2])
+    if padded is not None and k2 > 0:
+        cols = [np.asarray(padded.unpad(V[:, i])) for i in range(k2)]
+        X = np.stack(cols, axis=1)
+        nrmX = np.linalg.norm(X, axis=0)
+        nrmX[nrmX == 0] = 1
+        X = X / nrmX
+    else:
+        X = np.asarray(V[:, :k2])
     if getattr(st, "requires_rayleigh", False) and k2 > 0:
         from .krylovschur import _rayleigh_values
 

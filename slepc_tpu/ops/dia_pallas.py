@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.tree_util import register_pytree_node_class
 
 W = 512  # lane width of the 2-D view
 
@@ -216,3 +217,76 @@ def pad_vec(x, n: int, block_rows: int = 64):
 def unpad_vec(xp, n: int, block_rows: int = 64):
     Rb = block_rows
     return xp[Rb:, :].reshape(-1)[:n]
+
+
+@register_pytree_node_class
+class DIAPaddedOperator:
+    """DIA operator acting on padded-layout vectors (see dia_spmv_padded).
+
+    Used by the jitted Krylov fast path: vectors stay in the padded
+    ((nblk+2)*Rb*W,) flat layout for the whole solve, so every SpMV runs
+    the zero-copy kernel.  The operator annihilates the halo (output halo
+    is written zero), so the padded operator's spectrum is spec(A) plus
+    zeros on the halo subspace — callers must keep basis vectors
+    halo-free (mask available via ``interior_mask``).
+    """
+
+    def __init__(self, offsets, dp, n, block_rows=64, mask=None):
+        self.offsets = tuple(offsets)
+        self.dp = dp
+        self.n_interior = n
+        self.block_rows = block_rows
+        Rb = block_rows
+        nblk = -(-n // (Rb * W))
+        self.n_pad = (nblk + 2) * Rb * W
+        self.shape = (self.n_pad, self.n_pad)
+        self.dtype = dp.dtype
+        self.mask = mask if mask is not None else self._make_mask()
+
+    @classmethod
+    def from_dia(cls, A, block_rows: int = 64):
+        dp = A.dp if A.dp is not None else prepare_diags(
+            A.diags, A.shape[0], block_rows)
+        return cls(A.offsets, dp, A.shape[0], block_rows)
+
+    def _make_mask(self):
+        Rb = self.block_rows
+        nblk = -(-self.n_interior // (Rb * W))
+        m = jnp.zeros(self.n_pad, dtype=self.dtype)
+        interior = jnp.zeros(nblk * Rb * W, self.dtype).at[: self.n_interior].set(1.0)
+        return jax.lax.dynamic_update_slice(m, interior, (Rb * W,))
+
+    @property
+    def nnz(self):
+        return int(sum(self.n_interior - abs(o) for o in self.offsets))
+
+    def mult(self, x):
+        Rb = self.block_rows
+        xp = x.reshape(-1, W)
+        yp = dia_spmv_padded(self.offsets, self.dp, xp, self.n_interior, Rb)
+        return yp.reshape(-1)
+
+    mult_h = mult  # symmetric use only (HEP fast path)
+
+    def pad(self, x):
+        return pad_vec(jnp.asarray(x, self.dtype), self.n_interior,
+                       self.block_rows).reshape(-1)
+
+    def unpad(self, xp):
+        return unpad_vec(xp.reshape(-1, W), self.n_interior, self.block_rows)
+
+    def tree_flatten(self):
+        return (self.dp, self.mask), (self.offsets, self.n_interior,
+                                      self.block_rows)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.dp, obj.mask = children
+        obj.offsets, obj.n_interior, obj.block_rows = aux
+        Rb = obj.block_rows
+        nblk = -(-obj.n_interior // (Rb * W))
+        obj.n_pad = (nblk + 2) * Rb * W
+        obj.shape = (obj.n_pad, obj.n_pad)
+        obj.dtype = getattr(obj.dp, "dtype", None)
+        return obj

@@ -108,7 +108,56 @@ class PEP:
             return (n0 / nd) ** (1.0 / d)
         return 1.0
 
+    def _basis_to_monomial(self):
+        """Convert coefficient matrices from the configured polynomial
+        basis to monomial (reference: PEP bases, pepimpl.h pbc):
+        P(lam) = sum_i B_i phi_i(lam) = sum_k (sum_i c_ik B_i) lam^k."""
+        if self.basis == "monomial":
+            return
+        import numpy.polynomial as npoly
+
+        conv = {
+            "chebyshev1": npoly.chebyshev.cheb2poly,
+            "chebyshev": npoly.chebyshev.cheb2poly,
+            "legendre": npoly.legendre.leg2poly,
+            "laguerre": npoly.laguerre.lag2poly,
+            "hermite": npoly.hermite.herm2poly,
+            "hermite_e": npoly.hermite_e.herme2poly,
+        }
+        if self.basis == "chebyshev2":
+            # U_i via the recurrence U_0=1, U_1=2x, U_{i+1}=2x U_i - U_{i-1}
+            d = self.degree
+            C = np.zeros((d + 1, d + 1))
+            C[0, 0] = 1.0
+            if d >= 1:
+                C[1, 1] = 2.0
+            for i in range(1, d):
+                C[i + 1, 1:] += 2.0 * C[i, :-1]
+                C[i + 1, :] -= C[i - 1, :]
+        elif self.basis in conv:
+            d = self.degree
+            C = np.zeros((d + 1, d + 1))
+            for i in range(d + 1):
+                e = np.zeros(i + 1)
+                e[i] = 1.0
+                ck = conv[self.basis](e)
+                C[i, : len(ck)] = ck
+        else:
+            raise ValueError(f"unknown polynomial basis {self.basis!r}")
+        from ..mat.linop import SumOperator
+
+        newmats = []
+        for k in range(self.degree + 1):
+            coeffs = C[:, k]
+            nz = [(c, m) for c, m in zip(coeffs, self.mats) if c != 0.0]
+            newmats.append(SumOperator(tuple(m for _, m in nz),
+                                       tuple(float(c) for c, _ in nz)))
+        self._basis_mats = self.mats
+        self.mats = newmats
+        self.basis = "monomial"
+
     def solve(self):
+        self._basis_to_monomial()
         if self.solver == "linear":
             self._solve_linear()
         elif self.solver in ("toar", "qarnoldi"):

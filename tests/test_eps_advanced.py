@@ -150,3 +150,18 @@ def test_krylov_balance():
     assert eps.nconv >= 3
     for lam in eps.eigenvalues[:3]:
         assert np.min(np.abs(w_ref - lam)) < 1e-7
+
+
+def test_ciss_hankel_extraction():
+    """Block-Hankel (Beyn) extraction variant of CISS
+    (reference EPS_CISS_EXTRACTION_HANKEL)."""
+    n = 100
+    A = st.laplacian_1d(n)
+    exact = st.mat.generators.laplacian_1d_eigs(n)
+    eps = st.EPS(A, problem_type="hep", solver="ciss", tol=1e-9)
+    eps.ciss_extraction = "hankel"
+    eps.set_rg(st.RGEllipse(center=0.65, radius=0.16, vscale=0.3))
+    eps.solve()
+    inside = np.sort(exact[np.abs(exact - 0.65) < 0.16])
+    assert eps.nconv == len(inside)
+    np.testing.assert_allclose(np.sort(eps.eigenvalues.real), inside, rtol=1e-7)

@@ -151,3 +151,27 @@ def test_pep_stoar_overdamped():
     for i in range(4):
         assert pep.compute_error(i) < 1e-8
         assert np.min(np.abs(wref - pep.eigenvalues[i])) < 1e-8
+
+
+def test_pep_chebyshev_basis():
+    """Non-monomial polynomial bases (reference pepimpl.h pbc):
+    Chebyshev-basis coefficients converted exactly."""
+    rng = np.random.default_rng(0)
+    n = 30
+    B0 = rng.standard_normal((n, n))
+    B0 = B0 + B0.T + 8 * np.eye(n)
+    B1 = 0.2 * np.eye(n)
+    B2 = np.eye(n)
+    # T0=1, T1=x, T2=2x^2-1 -> monomial A0=B0-B2, A1=B1, A2=2B2
+    A0, A1, A2 = B0 - B2, B1, 2 * B2
+    Ab = np.block([[np.zeros((n, n)), np.eye(n)],
+                   [-np.linalg.solve(A2, A0), -np.linalg.solve(A2, A1)]])
+    wref = np.linalg.eigvals(Ab)
+    pep = st.PEP([st.DenseOperator(B0), st.DenseOperator(B1),
+                  st.DenseOperator(B2)], nev=4, solver="toar",
+                 basis="chebyshev")
+    pep.set_target(1.5)
+    pep.solve()
+    assert pep.nconv >= 4
+    for i in range(4):
+        assert np.min(np.abs(wref - pep.eigenvalues[i])) < 1e-8
