@@ -110,6 +110,22 @@ def main():
     out["ks_cycle_per_column_ms"] = per_col_ms
     out["ks_orth_overhead_vs_spmv"] = per_col_ms / (dt * 1e3) - 1.0
 
+    # ---- partial (omega-recurrence) reorthogonalization: local 3-term
+    # orth with Simon's drift monitor — the production policy for large
+    # Hermitian solves (semi-orthogonality maintained at sqrt(eps)) ----
+    _log("compiling ks cycle (partial reorth)...")
+    outp = ks_hep_cycle(opb, Vb, Hb, jnp.asarray(0), 1e-5, keyb,
+                        ncv=ncv_b, which="smallest", reorth="partial")
+    jax.block_until_ready(outp)
+    bestp = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outp = ks_hep_cycle(opb, Vb, Hb, jnp.asarray(0), 1e-5, keyb,
+                            ncv=ncv_b, which="smallest", reorth="partial")
+        jax.block_until_ready(outp)
+        bestp = min(bestp, time.perf_counter() - t0)
+    out["ks_cycle_partial_per_column_ms"] = bestp / ncv_b * 1e3
+
     # ---- k=10 smallest via shift-and-invert (host-factorization
     # workload — runs on the CPU backend like the reference's per-rank
     # LU; the axon TPU plugin cannot host-callback mid-loop) ----

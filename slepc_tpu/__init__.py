@@ -34,7 +34,9 @@ __version__ = "0.1.0"
 
 from .sys.options import Options, set_global_options, get_global_options
 from .sys.sort import Which, SortCriterion
-from .sys.mesh import get_mesh, set_mesh, row_sharding, replicated_sharding, device_put_rows
+from .sys.mesh import (get_mesh, set_mesh, make_row_mesh, row_sharding,
+                       replicated_sharding, device_put_rows, shard_operator)
+from .parallel import HaloDIAOperator, dia_spmv_halo
 from .mat.linop import (
     LinearOperator,
     DenseOperator,
@@ -86,6 +88,10 @@ __all__ = [
     "SortCriterion",
     "get_mesh",
     "set_mesh",
+    "make_row_mesh",
+    "shard_operator",
+    "HaloDIAOperator",
+    "dia_spmv_halo",
     "row_sharding",
     "replicated_sharding",
     "device_put_rows",

@@ -240,6 +240,19 @@ class EPS:
         self.true_residual = flg
         return self
 
+    def set_reorthogonalization(self, kind: str, period: int = 4):
+        """Orthogonalization policy for the jitted HEP Lanczos fast path
+        (reference -eps_lanczos_reorthog, lanczos.c EPSLanczosReorthogType):
+        'full' (CGS2 every column, default), 'partial' (Simon omega-
+        recurrence drift monitor — local 3-term orth, full sweep only when
+        the estimate crosses sqrt(eps); large bandwidth win at scale),
+        'periodic' (every `period` columns; EXPERIMENTAL, no monitor)."""
+        assert kind in ("full", "partial", "periodic")
+        self.reorth = kind
+        if kind == "periodic":
+            self.reorth_period = period
+        return self
+
     def set_extraction(self, kind: str):
         """'ritz' (default) or 'harmonic' (interior-friendly projected
         extraction; reference EPSSetExtraction EPS_HARMONIC).

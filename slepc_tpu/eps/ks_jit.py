@@ -28,9 +28,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@partial(jax.jit, static_argnames=("ncv", "which", "passes", "reorth_period"))
+@partial(jax.jit, static_argnames=("ncv", "which", "passes", "reorth_period",
+                                   "reorth"))
 def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
-                 passes: int = 2, reorth_period: int = 1):
+                 passes: int = 2, reorth_period: int = 1,
+                 reorth: str = "full"):
     """One Krylov-Schur(HEP) restart cycle.
 
     Args:
@@ -65,23 +67,19 @@ def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
         mask = (jnp.arange(ncv + 1) < j + 1).astype(rdtype)
 
         def full_orth(w):
-            # CGS with IFNEEDED refinement (reference bvorthog.c eta
-            # criterion, in-graph): second sweep only when the Pythagorean
-            # estimate signals cancellation — typically halves the
-            # orthogonalization bandwidth vs unconditional CGS2
-            nb2 = jnp.real(jnp.vdot(w, w))
+            # unconditional CGS2 by default: an in-graph IFNEEDED
+            # (lax.cond) refinement was measured SLOWER on TPU — the
+            # branch blocks XLA pipelining (33 vs 17.5 ms/col at 8.4M
+            # rows) even though it halves average bandwidth; branch-free
+            # wins on this hardware (set passes=1 for CGS1)
             c = (V.conj().T @ w) * mask
-            w1 = w - V @ c
-            est2 = nb2 - jnp.real(jnp.vdot(c, c))
-            eta2 = 0.5  # eta = 1/sqrt(2)
-            if passes <= 1:
-                return w1, c
-            def refine(args):
-                w1, c = args
-                c2 = (V.conj().T @ w1) * mask
-                return w1 - V @ c2, c + c2
-            return jax.lax.cond(est2 < eta2 * nb2, refine,
-                                lambda a: a, (w1, c))
+            w = w - V @ c
+            c_tot = c
+            for _ in range(passes - 1):
+                c2 = (V.conj().T @ w) * mask
+                w = w - V @ c2
+                c_tot = c_tot + c2
+            return w, c_tot
 
         if reorth_period > 1:
             def local_orth(w):
@@ -102,17 +100,24 @@ def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
         else:
             w, c_tot = full_orth(w)
         beta = jnp.linalg.norm(w)
-        # breakdown -> deterministic random restart direction
+        # breakdown -> deterministic random restart direction.  Behind a
+        # cond: the orthogonalized random vector costs 2 full CGS sweeps
+        # (4 GEMVs — as much as the CGS2 itself) and breakdown is
+        # exceptional, so paying it per-column would double the cycle cost
         is_brk = beta < eps_mach ** 0.75 * (jnp.linalg.norm(c_tot) + eps_mach)
-        rnd = jax.random.normal(jax.random.fold_in(key, j), (n,), rdtype).astype(V.dtype)
-        opmask = getattr(op, "mask", None)
-        if opmask is not None:
-            rnd = rnd * opmask  # padded layouts: keep halo components zero
-        rnd = rnd - V @ ((V.conj().T @ rnd) * mask)
-        rnd = rnd - V @ ((V.conj().T @ rnd) * mask)
-        rbeta = jnp.linalg.norm(rnd)
-        w = jnp.where(is_brk, rnd, w)
-        beta_eff = jnp.where(is_brk, rbeta, beta)
+
+        def mk_restart(_):
+            rnd = jax.random.normal(jax.random.fold_in(key, j), (n,),
+                                    rdtype).astype(V.dtype)
+            opmask = getattr(op, "mask", None)
+            if opmask is not None:
+                rnd = rnd * opmask  # padded layouts: keep halo zero
+            rnd = rnd - V @ ((V.conj().T @ rnd) * mask)
+            rnd = rnd - V @ ((V.conj().T @ rnd) * mask)
+            return rnd, jnp.linalg.norm(rnd)
+
+        w, beta_eff = jax.lax.cond(is_brk, mk_restart,
+                                   lambda _: (w, beta), None)
         safe = jnp.where(beta_eff > 0, beta_eff, 1.0)
         V = V.at[:, j + 1].set(w / safe)
         col = jnp.zeros((ncv + 1,), dtype=H.dtype)
@@ -122,7 +127,124 @@ def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
         H = H.at[:, j].set(col)
         return V, H
 
-    V, H = jax.lax.fori_loop(j0, ncv, body, (V, H))
+    # ---- partial (omega-recurrence) extension: Simon's drift monitor.
+    # Local 3-term orthogonalization per column; a full CGS2 sweep fires
+    # only when the recurrence estimate of max_k |v_{j+1}^H v_k| crosses
+    # sqrt(eps) (semi-orthogonality — sufficient for Ritz accuracy to
+    # eps*||A||, Simon 1984; reference EPS_LANCZOS_REORTHOG_PARTIAL,
+    # src/eps/impls/krylov/lanczos/lanczos.c update_omega()).  After a
+    # trip, this column AND the next are fully reorthogonalized and omega
+    # resets to eps level.  Restart init is sqrt(eps)/2: the rotation
+    # V@Q preserves inner products, so the maintained semi-orthogonality
+    # bound carries over.
+    def body_partial(j, state):
+        V, H, om_prev, om_cur, force = state
+        v = V[:, j]
+        w = op.mult(v)
+        mask = (jnp.arange(ncv + 1) < j + 1).astype(rdtype)
+
+        # local orth against v_{j-1}, v_j (always; CGS x2 on 2 columns)
+        j0loc = jnp.maximum(j - 1, 0)
+        Vloc = jax.lax.dynamic_slice(V, (0, j0loc), (V.shape[0], 2))
+        locmask = ((jnp.arange(2) + j0loc) < j + 1).astype(rdtype)
+        cl = (Vloc.conj().T @ w) * locmask
+        w = w - Vloc @ cl
+        cl2 = (Vloc.conj().T @ w) * locmask
+        w = w - Vloc @ cl2
+        c_tot = jnp.zeros(ncv + 1, dtype=V.dtype)
+        c_tot = jax.lax.dynamic_update_slice(c_tot, cl + cl2, (j0loc,))
+        beta_loc = jnp.linalg.norm(w)
+
+        # omega recurrence:  beta_j*om_{j+1,k} = beta_k*om_{j,k+1}
+        #   + (alpha_k - alpha_j)*om_{j,k} + beta_{k-1}*om_{j,k-1}
+        #   - beta_{j-1}*om_{j-1,k} + O(eps*||A||)
+        alpha = jnp.real(H[jnp.arange(ncv), jnp.arange(ncv)])
+        betav = jnp.real(H[jnp.arange(1, ncv + 1), jnp.arange(ncv)])
+        alpha_j = jnp.real(c_tot[j])
+        beta_jm1 = jnp.where(j > 0, betav[jnp.maximum(j - 1, 0)], 0.0)
+        anorm = jnp.maximum(jnp.max(jnp.abs(alpha)), jnp.abs(alpha_j)) \
+            + 2.0 * jnp.maximum(jnp.max(betav), beta_loc)
+        psi = eps_mach * anorm
+        bsafe = jnp.where(beta_loc > 0, beta_loc, 1.0)
+        om_up = jnp.concatenate([om_cur[1:], jnp.zeros(1, rdtype)])
+        om_dn = jnp.concatenate([jnp.zeros(1, rdtype), om_cur[:-1]])
+        alph = jnp.concatenate([alpha, jnp.zeros(1, rdtype)])
+        betv = jnp.concatenate([betav, jnp.zeros(1, rdtype)])
+        bet_dn = jnp.concatenate([jnp.zeros(1, rdtype), betav])
+        om_next = (betv * om_up + (alph - alpha_j) * om_cur
+                   + bet_dn * om_dn - beta_jm1 * om_prev) / bsafe
+        om_next = jnp.abs(om_next) + psi
+        kmask = (jnp.arange(ncv + 1) < j).astype(rdtype)
+        om_next = om_next * kmask
+        # v_j itself: locally orthogonalized -> eps level
+        om_next = om_next.at[j].set(psi)
+
+        # trip threshold sqrt(eps)/sqrt(ncv): the restart rotation V@Q
+        # amplifies pairwise drift by ~sqrt(ncv) in the typical case, so
+        # keeping estimates below sqrt(eps)/sqrt(ncv) bounds the rotated
+        # block at the semi-orthogonality level sqrt(eps)
+        thresh = jnp.sqrt(eps_mach) / np.sqrt(ncv)
+        tripped = jnp.max(om_next) > thresh
+        need_full = jnp.logical_or(jnp.logical_or(tripped, force), j == j0)
+
+        def do_full(w):
+            c = (V.conj().T @ w) * mask
+            w1 = w - V @ c
+            c2 = (V.conj().T @ w1) * mask
+            return w1 - V @ c2, c + c2
+
+        w, c_extra = jax.lax.cond(
+            need_full, do_full,
+            lambda w: (w, jnp.zeros(ncv + 1, dtype=V.dtype)), w)
+        c_tot = c_tot + c_extra
+        # after a full sweep the NEW column is orthogonal to eps level;
+        # om_cur (= drift of v_j, untouched by the sweep) must NOT be
+        # reset — erasing it silences the monitor for the restart block
+        # and lets unmonitored drift breed ghost eigenvalues
+        om_next = jnp.where(need_full,
+                            (psi * kmask).at[j].set(psi), om_next)
+        om_cur_out = om_cur
+
+        beta = jnp.linalg.norm(w)
+        is_brk = beta < eps_mach ** 0.75 * (jnp.linalg.norm(c_tot) + eps_mach)
+
+        def mk_restart(_):
+            rnd = jax.random.normal(jax.random.fold_in(key, j), (n,),
+                                    rdtype).astype(V.dtype)
+            opmask = getattr(op, "mask", None)
+            if opmask is not None:
+                rnd = rnd * opmask
+            rnd = rnd - V @ ((V.conj().T @ rnd) * mask)
+            rnd = rnd - V @ ((V.conj().T @ rnd) * mask)
+            return rnd, jnp.linalg.norm(rnd)
+
+        w, beta_eff = jax.lax.cond(is_brk, mk_restart,
+                                   lambda _: (w, beta), None)
+        safe = jnp.where(beta_eff > 0, beta_eff, 1.0)
+        V = V.at[:, j + 1].set(w / safe)
+        col = jnp.zeros((ncv + 1,), dtype=H.dtype)
+        col = col.at[:ncv].set(c_tot[:ncv])
+        col = jax.lax.dynamic_update_index_in_dim(
+            col, jnp.where(is_brk, 0.0, beta).astype(H.dtype), j + 1, 0)
+        H = H.at[:, j].set(col)
+        # reorthogonalize the NEXT column too when tripped (the classical
+        # two-consecutive rule: the recurrence for j+2 still references
+        # the contaminated om_{j+1-1} row)
+        return V, H, om_cur_out, om_next, tripped
+
+    if reorth == "partial":
+        # init = sqrt(eps): bound on the restarted block's pairwise drift
+        # (~sqrt(ncv) x the maintained sqrt(eps)/sqrt(ncv) trip level).
+        # The contaminated rows only feed the first two recurrence steps
+        # after j0 (three-term locality), so ~3 full sweeps fire per
+        # restart and the remaining columns run at local-orth cost.
+        sq0 = float(np.sqrt(jnp.finfo(rdtype).eps))
+        om0 = jnp.full((ncv + 1,), sq0, rdtype)
+        V, H, _, _, _ = jax.lax.fori_loop(
+            j0, ncv, body_partial,
+            (V, H, om0, om0, jnp.asarray(False)))
+    else:
+        V, H = jax.lax.fori_loop(j0, ncv, body, (V, H))
     beta = jnp.abs(H[ncv, ncv - 1])
 
     # ---- projected solve: full ncv x ncv eigh (replicated) ----
@@ -216,7 +338,8 @@ def ks_hep_solve(eps, op, which: str, Bip=None) -> bool:
         eps.its += 1
         V, H, j0, k2j, theta, errest, beta = ks_hep_cycle(
             op, V, H, j0, eps.tol, key, ncv=ncv, which=which,
-            reorth_period=getattr(eps, "reorth_period", 1))
+            reorth_period=getattr(eps, "reorth_period", 1),
+            reorth=getattr(eps, "reorth", "full"))
         k2 = int(k2j)
         if len(eps.monitor):
             eps.monitor(eps, eps.its, k2, np.asarray(theta), np.asarray(errest))

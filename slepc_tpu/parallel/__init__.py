@@ -1,0 +1,14 @@
+"""Multi-device parallel kernels (explicit shard_map + collectives).
+
+The default distribution path lets GSPMD choose collectives from sharding
+annotations (sys/mesh.py).  This package holds the hand-scheduled
+specializations where GSPMD's choice is suboptimal — e.g. the DIA SpMV,
+where a shifted read of a row-sharded vector lowers to an all-gather of
+the whole vector unless the halo exchange is written explicitly
+(the role VecScatter plays in the reference's MPIAIJ MatMult,
+PETSc src/mat/impls/aij/mpi/mmaij.c).
+"""
+
+from .halo import HaloDIAOperator, dia_spmv_halo
+
+__all__ = ["dia_spmv_halo", "HaloDIAOperator"]

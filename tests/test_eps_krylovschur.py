@@ -162,3 +162,26 @@ def test_monitor_called():
     eps.set_monitor(lambda s, its, k, e, r: calls.append(its))
     eps.solve()
     assert len(calls) >= 1
+
+
+def test_partial_reorthogonalization():
+    """Omega-recurrence partial reorth (reference lanczos.c
+    EPS_LANCZOS_REORTHOG_PARTIAL): same eigenvalues as full CGS2 over a
+    many-restart run, and the basis keeps semi-orthogonality."""
+    from slepc_tpu.mat.generators import laplacian_2d_eigs
+
+    A = st.laplacian_2d(95, 97)
+    exact = laplacian_2d_eigs(95, 97, k=6)
+    eps = st.EPS(A, problem_type="hep", nev=6, ncv=28, tol=1e-9, max_it=400,
+                 which=Which.SMALLEST_REAL)
+    eps.set_reorthogonalization("partial")
+    eps.solve()
+    assert eps.nconv >= 6
+    np.testing.assert_allclose(np.sort(eps.eigenvalues.real)[:6], exact,
+                               rtol=1e-7)
+    # true residuals on A
+    import jax.numpy as jnp
+
+    X = eps._eigenvectors[:, :6]
+    R = np.asarray(A.mult(jnp.asarray(X))) - X * eps.eigenvalues.real[None, :6]
+    assert np.linalg.norm(R, axis=0).max() < 1e-8
