@@ -257,16 +257,13 @@ class EPS:
         """'ritz' (default) or 'harmonic' (interior-friendly projected
         extraction; reference EPSSetExtraction EPS_HARMONIC).
 
-        NOTE: the harmonic translate/recover path is EXPERIMENTAL in this
-        release — selection and restart are implemented but convergence on
-        interior targets is not yet at parity; prefer sinvert targets.
+        Harmonic extraction improves selection and restart for targets in
+        the interior of the spectrum without factorizing (plain STShift).
+        Like the reference, convergence on targets DEEP inside a strongly
+        non-normal spectrum remains slow — shift-and-invert is the robust
+        route there.
         """
         assert kind in ("ritz", "harmonic")
-        if kind == "harmonic":
-            import warnings
-
-            warnings.warn("harmonic extraction is experimental; prefer "
-                          "shift-and-invert for interior targets")
         self.extraction = kind
         return self
 

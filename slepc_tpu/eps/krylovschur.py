@@ -57,7 +57,11 @@ class KrylovSchur(EPSSolver):
         st = eps.st
         op = st.op()
         n, ncv, nev, mpd = eps.n, eps.ncv, eps.nev, eps.mpd
-        hermitian = eps.is_hermitian and not getattr(st, "requires_rayleigh", False)
+        # harmonic extraction forces the non-Hermitian (Hessenberg) machinery
+        # even for symmetric A (reference krylovschur.c:239)
+        use_harmonic = eps.extraction == "harmonic"
+        hermitian = (eps.is_hermitian and not use_harmonic
+                     and not getattr(st, "requires_rayleigh", False))
         # matrix-free balancing (EPSSetBalance; NHEP shift problems only)
         balance_d = None
         if (eps.balance and not hermitian and eps.B is None
@@ -68,7 +72,7 @@ class KrylovSchur(EPSSolver):
             op = balanced_operator(eps.A, balance_d)
         # use the Hermitian fast path also for filtered runs (A Hermitian)
         if isinstance(st, STFilter):
-            hermitian = eps.is_hermitian
+            hermitian = eps.is_hermitian and not use_harmonic
         indefinite = eps.problem_type == ProblemType.GHIEP
         dtype = np.dtype(eps.A.dtype)
         cplx = np.issubdtype(dtype, np.complexfloating)
@@ -91,7 +95,7 @@ class KrylovSchur(EPSSolver):
         plain_shift = isinstance(st, STShift) and st.sigma == 0 and eps.B is None
         filtered = isinstance(st, STFilter)
         if (hermitian and Bip is None and eps.deflation_space is None
-                and eps.rg is None and not indefinite
+                and eps.rg is None and not indefinite and not use_harmonic
                 and (plain_shift or filtered) and eps.which in which_map
                 and eps.arbitrary is None and not eps.two_sided):
             w = which_map[eps.which]
@@ -366,12 +370,13 @@ class KrylovSchur(EPSSolver):
                 # ---- move residual vector to column k2 + l ----
                 if not done and harmonic_on:
                     # residual-vector update absorbing the dropped coupling:
-                    # u_hat = beta*v_res - V(g - Q_kept (Q^H g)_kept)
+                    # u_hat = beta*v_res - V(g - Q_kept (Q^H g)_kept); must use
+                    # the PRE-rotation basis (reference does BVMultColumn
+                    # before BVMultInPlace, krylovschur.c:312-319)
                     c_u = -(g_harm - Q[:, :kl] @ qg[:kl])
                     c_uj = jnp.asarray(c_u.real if not cplx else c_u, dtype=dtype)
-                    Vact_h = V.array[:, nc + k: nc + nv]
                     vres_h = V.array[:, nc + nv]
-                    u_hat = beta * vres_h + Vact_h @ c_uj
+                    u_hat = beta * vres_h + Vact @ c_uj
                     un = float(jnp.linalg.norm(u_hat))
                     if un > 0:
                         V.array = V.array.at[:, nc + nv].set(u_hat / un)

@@ -165,3 +165,58 @@ def test_ciss_hankel_extraction():
     inside = np.sort(exact[np.abs(exact - 0.65) < 0.16])
     assert eps.nconv == len(inside)
     np.testing.assert_allclose(np.sort(eps.eigenvalues.real), inside, rtol=1e-7)
+
+
+def test_harmonic_extraction_hep():
+    """Harmonic Ritz on a mild interior target, plain shift (reference
+    EPS_HARMONIC + DSTranslateHarmonic path, krylovschur.c:271,312)."""
+    import scipy.sparse as sp
+
+    n = 300
+    A = sp.diags(np.arange(1.0, n + 1)).tocsr()
+    op = st.from_scipy(A)
+    eps = st.EPS()
+    eps.set_operators(op)
+    eps.set_problem_type("hep")
+    eps.set_dimensions(nev=4, ncv=24)
+    eps.set_target(4.8)
+    eps.set_st(st.STShift([op]))
+    eps.set_which(Which.TARGET_MAGNITUDE)
+    eps.set_extraction("harmonic")
+    eps.set_tolerances(tol=1e-8, max_it=100)
+    eps.solve()
+    assert eps.nconv >= 4
+    got = eps.eigenvalues.real
+    # every converged value is a true eigenvalue (an integer 1..n)
+    np.testing.assert_allclose(got, np.round(got), atol=1e-6)
+    # the two nearest-to-target eigenvalues are among them
+    assert {4.0, 5.0} <= set(np.round(got))
+
+
+def test_harmonic_extraction_nhep_pairs():
+    """Harmonic extraction through the real-Schur (conjugate-pair) path."""
+    import scipy.linalg as sla
+
+    rng = np.random.default_rng(7)
+    n = 300
+    re = np.arange(1.0, n // 2 + 1)
+    im = 0.4 * rng.standard_normal(n // 2)
+    blocks = [np.array([[a, b], [-b, a]]) for a, b in zip(re, im)]
+    D = sla.block_diag(*blocks)
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    Ad = Q @ D @ Q.T
+    ew = np.concatenate([re + 1j * im, re - 1j * im])
+    eps = st.EPS()
+    op = st.from_dense(Ad)
+    eps.set_operators(op)
+    eps.set_problem_type("nhep")
+    eps.set_dimensions(nev=4, ncv=24)
+    eps.set_target(4.8)
+    eps.set_st(st.STShift([op]))
+    eps.set_which(Which.TARGET_MAGNITUDE)
+    eps.set_extraction("harmonic")
+    eps.set_tolerances(tol=1e-8, max_it=300)
+    eps.solve()
+    assert eps.nconv >= 4
+    for lam in eps.eigenvalues[:4]:
+        assert np.min(np.abs(ew - lam)) < 1e-6
