@@ -420,112 +420,203 @@ class NEP:
                               if keep else np.zeros((n, 0), dtype=complex))
         self.nconv = int(np.sum(self.errests < max(self.tol * 100, 1e-8)))
 
-    def _solve_nleigs(self, rg=None):
-        """NLEIGS-style rational interpolation solver (reference:
-        src/nep/impls/nleigs/, 2,038 LoC).  Shared-support barycentric
-        rational interpolant from AAA on a surrogate (the role of the
-        reference's Leja-Bagby points): T(lam) ~ sum_j b_j(lam) T(z_j)
-        with b_j the barycentric basis; the interpolant's eigenproblem is
-        linearized to the pencil with companion-with-poles structure and
-        solved with a single N(sigma) factorization.
-        """
-        from scipy.interpolate import AAA
+    def set_singularities(self, points):
+        """Discretized singularity set Xi of T (reference:
+        NEPNLEIGSSetSingularitiesFunction) — the pole candidates for the
+        Leja-Bagby rational interpolation.  Without it, poles are detected
+        automatically from the AAA approximation of a scalar surrogate."""
+        self._singularities = np.asarray(points, dtype=complex)
+        return self
 
+    def _nleigs_surrogate(self, samples: np.ndarray) -> np.ndarray:
+        """Scalar surrogate of T on sample points (random combination of
+        the split scalar functions, or a random bilinear form of T)."""
+        rng = np.random.default_rng(1)
+        if self.split_f:
+            coeffs_r = rng.standard_normal(len(self.split_f))
+            return np.sum([cr * np.asarray([f.eval(s) for s in samples])
+                           for cr, f in zip(coeffs_r, self.split_f)], axis=0)
+        n = self.n
+        u = rng.standard_normal(n)
+        v = rng.standard_normal(n)
+        return np.array([v @ np.asarray(self.T(s).mult(jnp.asarray(
+            u, dtype=complex))) for s in samples])
+
+    def _solve_nleigs(self, rg=None):
+        """NLEIGS (reference: src/nep/impls/nleigs/nleigs.c; Guettel, Van
+        Beeumen, Meerbergen, Michiels, SISC 2014): rational interpolation
+        of T on Leja-Bagby nodes s_j (target set) with poles xi_j
+        (singularity set), T(lam) ~ Q_d(lam) = sum_j D_j b_j(lam) in the
+        rational Newton basis b_{j+1}(z) = b_j(z)(z-s_j)/(beta_{j+1}
+        (1-z/xi_j)); the d*n companion-with-poles linearization is solved
+        by shift-invert Arnoldi at sigma=target with ONE factorization of
+        Q_d(sigma) — all block arithmetic is batched device work, only the
+        n x n solve goes through KSP.
+        """
         from ..rg.rg import RGEllipse
 
         rg = rg or getattr(self, "rg", None)
         if rg is None:
-            rg = RGEllipse(center=self.target, radius=max(abs(self.target) * 0.5, 1.0))
+            rg = RGEllipse(center=self.target,
+                           radius=max(abs(self.target) * 0.5, 1.0))
+        self.rg = rg
         c = complex(getattr(rg, "center", self.target))
-        rad = float(getattr(rg, "radius", 1.0))
-        # sample points in/around the region
-        th = np.linspace(0, 2 * np.pi, 120, endpoint=False)
-        samples = np.concatenate([
-            c + rad * np.exp(1j * th),
-            c + 0.5 * rad * np.exp(1j * th[::3]),
-            np.atleast_1d(c),
-        ])
-        rng = np.random.default_rng(1)
-        if self.split_f:
-            coeffs_r = rng.standard_normal(len(self.split_f))
-            surrogate = np.sum([cr * np.asarray([f.eval(s) for s in samples])
-                                for cr, f in zip(coeffs_r, self.split_f)], axis=0)
-        else:
-            # surrogate from a random bilinear sample of T
-            n = self.n
-            u = rng.standard_normal(n)
-            v = rng.standard_normal(n)
-            import jax.numpy as _j
-
-            surrogate = np.array([v @ np.asarray(self.T(s).mult(_j.asarray(
-                u, dtype=complex))) for s in samples])
-        aaa = AAA(samples, surrogate, rtol=1e-13)
-        zs = np.asarray(aaa.support_points)
-        ws = np.asarray(aaa.weights)
-        m = len(zs)
-
-        # N(lam) = sum_j [w_j/(lam - z_j)] T(z_j); roots of the barycentric
-        # interpolant of T.  Solve N(lam) x = 0 via SLP/Newton from the
-        # target, with N evaluated through the m matrices T(z_j).
+        sigma = complex(self.target)
         n = self.n
-        Tz = [self._dense_T(z) if n <= 2048 else None for z in zs]
-        if any(t is None for t in Tz):
-            # large n: fall back to matrix-free SLP on T itself
+        ddmaxit = 100  # LBPOINTS (reference nleigs.h:16)
+        ddtol = max(self.tol / 10.0, 1e-14)
+
+        # --- discretize target boundary and singularity set ---
+        ds, _w = rg.contour(128)
+        ds = np.asarray(ds, dtype=complex)
+        dxi = getattr(self, "_singularities", None)
+        if dxi is None:
+            dxi = _aaa_singularities(self, ds)
+        dxi = np.asarray(dxi, dtype=complex) if dxi is not None else \
+            np.zeros(0, dtype=complex)
+
+        # --- Leja-Bagby points / poles / scalings ---
+        s, xi, beta = _leja_bagby(ds, dxi, ddmaxit)
+
+        # --- rational divided differences (split or dense callback) ---
+        if self.split_f:
+            nt = len(self.split_f)
+            fvals = np.array([[complex(f.eval(sk)) for f in self.split_f]
+                              for sk in s])  # (ddmaxit, nt)
+            coeffD = np.zeros((ddmaxit, nt), dtype=complex)
+            coeffD[0] = fvals[0] * beta[0]
+            norm0 = np.abs(coeffD[0]).max()
+            nmat = ddmaxit
+            for k in range(1, ddmaxit):
+                b = _rational_basis(s, xi, beta, k, s[k])
+                coeffD[k] = (fvals[k]
+                             - b[:k] @ coeffD[:k]) / b[k]
+                if k > 1 and np.abs(coeffD[k]).max() / norm0 < ddtol:
+                    nmat = k + 1
+                    break
+            Dmats = None
+        else:
+            if n > 2048:
+                # matrix divided differences need explicit D_j; keep the
+                # matrix-free Newton path for very large callback problems
+                self._solve_newton(improve="slp")
+                return
+            Td = [self._dense_T(s[0]).astype(complex)]
+            Dmats = [Td[0] * beta[0]]
+            norm0 = np.linalg.norm(Dmats[0], np.inf)
+            nmat = ddmaxit
+            for k in range(1, ddmaxit):
+                b = _rational_basis(s, xi, beta, k, s[k])
+                Dk = self._dense_T(s[k]).astype(complex)
+                for j in range(k):
+                    Dk = Dk - b[j] * Dmats[j]
+                Dmats.append(Dk / b[k])
+                if k > 1 and np.linalg.norm(Dmats[k], np.inf) / norm0 < ddtol:
+                    nmat = k + 1
+                    break
+            Dmats = Dmats[:nmat]
+            coeffD = None
+        d = nmat - 1  # linearization degree
+
+        if d < 2:
+            # interpolant is (near-)linear: plain Newton is exact
             self._solve_newton(improve="slp")
             return
 
-        def N(lam):
-            b = ws / (lam - zs)
-            return sum(bj * Tj for bj, Tj in zip(b, Tz))
+        # --- Q_d(sigma) and its factorization (the only n x n solve) ---
+        bsig = _rational_basis(s, xi, beta, d, sigma)
+        if coeffD is not None:
+            alph = bsig @ coeffD[:nmat]  # (nt,)
+            Nsig = SumOperator(tuple(self.split_A), tuple(alph))
+            ksp = KSP(Nsig, method="direct")
+        else:
+            Nd = sum(bj * Dj for bj, Dj in zip(bsig, Dmats))
+            import scipy.linalg as sla
 
-        def Nprime(lam):
-            b = -ws / (lam - zs) ** 2
-            return sum(bj * Tj for bj, Tj in zip(b, Tz))
+            lu = sla.lu_factor(Nd)
+            ksp = None
 
-        import scipy.linalg as sla
+        Aj_ops = tuple(self.split_A) if coeffD is not None else None
+        betax = beta
+        six = s
+        # inf pole => no pole: beta/xi -> 0 and (1 - sigma/xi) -> 1
+        b_over_xi = np.array([0.0 if np.isinf(xi[j]) else betax[j + 1] / xi[j]
+                              for j in range(d)], dtype=complex)
+        one_m_sx = np.array([1.0 if np.isinf(xi[j]) else 1.0 - sigma / xi[j]
+                             for j in range(d)], dtype=complex)
+
+        def shinv_apply(zflat):
+            """w = (A - sigma B)^{-1} B z on the d*n linearization:
+            backward substitution through the companion-with-poles block
+            rows, then one Q_d(sigma) solve for the rational-basis
+            component (reference NEPTOARExtendBasis semantics)."""
+            Z = zflat.reshape(d, n)
+            Wb = [None] * (d - 1)
+            # last block row (D_d truncation folded into the first row)
+            Wb[d - 2] = (Z[d - 2] + b_over_xi[d - 2] * Z[d - 1]) \
+                / (six[d - 2] - sigma)
+            for k in range(d - 2, 0, -1):
+                Wb[k - 1] = (Z[k - 1] + b_over_xi[k - 1] * Z[k]
+                             - betax[k] * one_m_sx[k - 1] * Wb[k]) \
+                    / (six[k - 1] - sigma)
+            # q = sum_j D_j w_j + D_d z_{d-1}/beta_d  (first block row)
+            zlast = Z[d - 1] / betax[d]
+            if coeffD is not None:
+                q = None
+                for i, Ai in enumerate(Aj_ops):
+                    v = coeffD[d, i] * zlast
+                    for j in range(d - 1):
+                        v = v + coeffD[j, i] * Wb[j]
+                    t = Ai.mult(v)
+                    q = t if q is None else q + t
+                t_new = -ksp.solve(q)
+            else:
+                q = Dmats[d] @ np.asarray(zlast)
+                for j in range(d - 1):
+                    q = q + Dmats[j] @ np.asarray(Wb[j])
+                import scipy.linalg as sla
+
+                t_new = jnp.asarray(-sla.lu_solve(lu, q))
+            # w_j += b_j(sigma) * t  (t is the new Krylov direction)
+            out = [Wb[j] + bsig[j] * t_new for j in range(d - 1)]
+            out.append(bsig[d - 1] * t_new)
+            return jnp.concatenate(out)
+
+        Lop = ShellOperator((d * n, d * n), np.dtype(complex), shinv_apply,
+                            host_callback=True)
+
+        # --- shift-invert Arnoldi on the linearization ---
+        eps = EPS(Lop, problem_type=ProblemType.NHEP, nev=self.nev + 2,
+                  which=Which.LARGEST_MAGNITUDE)
+        eps.set_tolerances(tol=max(self.tol * 1e-2, 1e-13),
+                           max_it=self.max_it)
+        eps.solve()
+        self.its = eps.its
 
         found = []
-        nstart = 2 * max(self.nev, 1) + 2
-        lam0s = [c] + [c + f * rad * np.exp(2j * np.pi * kk / nstart)
-                       for f in (0.3, 0.6) for kk in range(nstart)]
-        for lam0 in lam0s:
-            lam = lam0
-            x = None
-            for _ in range(self.max_it):
-                mu_, Xp = sla.eig(N(lam), Nprime(lam))
-                finite = np.isfinite(mu_)
-                mu_, Xp = mu_[finite], Xp[:, finite]
-                if mu_.size == 0:
-                    break
-                j = int(np.argmin(np.abs(mu_)))
-                lam = lam - mu_[j]
-                x = Xp[:, j] / np.linalg.norm(Xp[:, j])
-                if abs(mu_[j]) < 1e-13 * max(1.0, abs(lam)):
-                    break
-            if x is None:
+        for i in range(eps.nconv):
+            th, zvec = eps.get_eigenpair(i)
+            th = complex(th)
+            if abs(th) < 1e-300:
                 continue
-            # polish on the TRUE T (the interpolant limits accuracy to its
-            # own error; a few Newton steps restore full precision)
-            lam = complex(lam)
+            lam = sigma + 1.0 / th
+            x = np.asarray(zvec[:n])
+            nx = np.linalg.norm(x)
+            if nx < 1e-12:
+                continue
+            x = x / nx
+            # polish on the true T (interpolation error -> full precision)
             for _ in range(10):
                 e = self._residual(lam, jnp.asarray(x))
                 if e < self.tol:
                     break
-                Tl = self.T(lam)
-                try:
-                    dx = np.linalg.solve(np.asarray(Tl.to_dense()).astype(complex),
-                                         np.asarray(Tl.mult(jnp.asarray(x))))
-                except np.linalg.LinAlgError:
-                    break
-                x = x - dx
-                x = x / np.linalg.norm(x)
-                lam = _rayleigh_functional(self, lam, jnp.asarray(x))
+                lam, x = _nep_newton_step(self, lam, x)
             e = self._residual(complex(lam), jnp.asarray(x))
             if e < max(self.tol * 100, 1e-8) and rg.check_inside(lam) >= 0:
-                if all(abs(lam - f[0]) > 1e-8 * max(1, abs(lam)) for f in found):
+                if all(abs(lam - f[0]) > 1e-8 * max(1, abs(lam))
+                       for f in found):
                     found.append((complex(lam), e, x))
         found.sort(key=lambda t: abs(t[0] - c))
-        self.its = len(lam0s)
         self.eigenvalues = np.array([t[0] for t in found])
         self.errests = np.array([t[1] for t in found])
         self._eigenvectors = (np.stack([t[2] for t in found], axis=1)
@@ -575,6 +666,100 @@ class NEP:
     def compute_error(self, i: int) -> float:
         lam, x = self.get_eigenpair(i)
         return self._residual(complex(lam), jnp.asarray(x))
+
+
+def _leja_bagby(ds: np.ndarray, dxi: np.ndarray, maxit: int):
+    """Greedy Leja-Bagby node/pole selection (reference:
+    NEPNLEIGSLejaBagbyPoints, nleigs.c:346): s_k maximizes |prod of scaled
+    basis| over the target discretization, xi_k minimizes it over the
+    singularity discretization; beta_k are the sup-norm scalings."""
+    ndpt = len(ds)
+    s = np.zeros(maxit, dtype=complex)
+    xi = np.full(maxit, np.inf, dtype=complex)
+    beta = np.ones(maxit)
+    s[0] = ds[0]
+    if len(dxi):
+        if abs(dxi[0]) < 1e-12:
+            raise ValueError("singularity point nearly zero; shift the problem")
+        xi[0] = dxi[0]
+    nrs = np.ones(ndpt, dtype=complex)
+    nrxi = np.ones(len(dxi), dtype=complex)
+
+    def pole_fac(z, p):  # 1 - z/p, with p=inf meaning "no pole"
+        return np.ones_like(z) if np.isinf(p) else 1.0 - z / p
+
+    for k in range(1, maxit):
+        nrs = nrs * ((ds - s[k - 1]) / pole_fac(ds, xi[k - 1])) / beta[k - 1]
+        imax = int(np.argmax(np.abs(nrs)))
+        s[k] = ds[imax]
+        beta[k] = max(np.abs(nrs[imax]), 1e-300)
+        if len(dxi) > k:
+            # a candidate equal to the current pole divides by zero; it
+            # becomes inf and is never selected by the argmin below
+            with np.errstate(divide="ignore", invalid="ignore"):
+                nrxi = nrxi * ((dxi - s[k - 1])
+                               / pole_fac(dxi, xi[k - 1])) / beta[k - 1]
+            nrxi = np.where(np.isfinite(nrxi), nrxi, np.inf)
+            imin = 1 + int(np.argmin(np.abs(nrxi[1:])))
+            if abs(dxi[imin]) < 1e-12:
+                raise ValueError("singularity point nearly zero; "
+                                 "shift the problem")
+            xi[k] = dxi[imin]
+    return s, xi, beta
+
+
+def _rational_basis(s, xi, beta, k: int, z: complex) -> np.ndarray:
+    """b_0..b_k of the rational Newton basis at z (reference:
+    NEPNLEIGSEvalNRTFunct): b_{j+1}(z)=b_j(z)(z-s_j)/(beta_{j+1}(1-z/xi_j))."""
+    b = np.zeros(k + 1, dtype=complex)
+    b[0] = 1.0 / beta[0]
+    for i in range(k):
+        pf = 1.0 if np.isinf(xi[i]) else 1.0 - z / xi[i]
+        b[i + 1] = (z - s[i]) * b[i] / (beta[i + 1] * pf)
+    return b
+
+
+def _aaa_singularities(nep: "NEP", ds: np.ndarray):
+    """Automatic singularity discretization: poles of the AAA rational
+    approximation of a scalar surrogate of T on the target boundary
+    (reference: NEPNLEIGSAAASingularities, nleigs.c:299)."""
+    try:
+        from scipy.interpolate import AAA
+    except ImportError:  # pragma: no cover
+        return None
+    vals = nep._nleigs_surrogate(ds)
+    try:
+        aaa = AAA(ds, vals, rtol=1e-13)
+        poles = np.asarray(aaa.poles(), dtype=complex)
+    except Exception:
+        return None
+    poles = poles[np.isfinite(poles)]
+    if poles.size == 0:
+        return None
+    # order by distance to the target set (closest poles matter most)
+    dmin = np.min(np.abs(poles[:, None] - ds[None, :]), axis=1)
+    return poles[np.argsort(dmin)]
+
+
+def _nep_newton_step(nep: "NEP", lam: complex, x: np.ndarray):
+    """One residual-inverse Newton step + Rayleigh-functional update."""
+    Tl = nep.T(lam)
+    try:
+        if nep.n <= 2048:
+            dx = np.linalg.solve(np.asarray(Tl.to_dense()).astype(complex),
+                                 np.asarray(Tl.mult(jnp.asarray(x))))
+        else:
+            dx = np.asarray(KSP(Tl, method="direct").solve(
+                Tl.mult(jnp.asarray(x))))
+    except Exception:
+        return lam, x
+    x2 = x - dx
+    nx = np.linalg.norm(x2)
+    if nx < 1e-300:
+        return lam, x
+    x2 = x2 / nx
+    lam2 = _rayleigh_functional(nep, lam, jnp.asarray(x2))
+    return complex(lam2), x2
 
 
 def _smallest_pencil_eig(Tl: LinearOperator, Tp: LinearOperator,
