@@ -41,14 +41,28 @@ def main():
     nnz = A.nnz
     ITERS = 50
 
+    # measure the chained-SpMV path the solver loops actually run: the
+    # operator stays in the padded layout, back-to-back kernel calls with
+    # no pad/unpad or normalization passes in between (spectral radius is
+    # pre-scaled below 1 so the pure chain cannot overflow in 50 steps)
+    if A.dp is not None:
+        from slepc_tpu.ops.dia_pallas import DIAPaddedOperator
+
+        As = type(A)(A.offsets, A.diags * np.float32(1.0 / 8.0))
+        op_b = DIAPaddedOperator.from_dia(As)
+        x = op_b.pad(jnp.ones((n,), dtype=dtype)).reshape(-1)
+        mult = op_b.mult
+        out["spmv_kernel"] = "pallas-padded"
+    else:
+        op_b = A
+        x = jnp.ones((n,), dtype=dtype)
+        mult = lambda v: A.mult(v) / 8.0
+        out["spmv_kernel"] = "xla-roll"
+
     @jax.jit
     def spmv_loop(x):
-        def body(i, x):
-            y = A.mult(x)
-            return y / jnp.linalg.norm(y)
-        return jax.lax.fori_loop(0, ITERS, body, x)
+        return jax.lax.fori_loop(0, ITERS, lambda i, v: mult(v), x)
 
-    x = jnp.ones((n,), dtype=dtype)
     _log("compiling spmv loop...")
     y = spmv_loop(x)
     jax.block_until_ready(y)  # compile
@@ -64,7 +78,6 @@ def main():
     out["spmv_rows"] = n
     out["spmv_nnz"] = nnz
     out["spmv_time_per_iter_ms"] = dt * 1e3
-    out["spmv_kernel"] = "pallas" if A.dp is not None else "xla-roll"
 
     # speed-of-light: bytes per nnz for the 5-diagonal stencil
     bytes_per_nnz = 4.0 + (4.0 + 4.0) / 5.0  # diag + amortized x,y
@@ -91,7 +104,7 @@ def main():
         opb = A
         nb = n
     _log("compiling ks cycle...")
-    Vb = jnp.zeros((nb, ncv_b + 1), dtype=dtype).at[:, 0].set(
+    Vb = jnp.zeros((ncv_b + 1, nb), dtype=dtype).at[0].set(
         jnp.ones(nb, dtype) / np.sqrt(nb))
     Hb = jnp.zeros((ncv_b + 1, ncv_b), dtype=dtype)
     keyb = jax.random.PRNGKey(0)

@@ -33,6 +33,7 @@ if not _os.environ.get("SLEPC_TPU_NO_X64"):
 __version__ = "0.1.0"
 
 from .sys.options import Options, set_global_options, get_global_options
+from .sys.events import log_begin, log_view, log_reset, log_event
 from .sys.sort import Which, SortCriterion
 from .sys.mesh import (get_mesh, set_mesh, make_row_mesh, row_sharding,
                        replicated_sharding, device_put_rows, shard_operator)
@@ -45,6 +46,7 @@ from .mat.linop import (
     DIAOperator,
     IdentityOperator,
     aslinearoperator,
+    norm_estimate_randomized,
 )
 from .mat.generators import (
     laplacian_1d,

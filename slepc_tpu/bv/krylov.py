@@ -202,6 +202,17 @@ def arnoldi_extend_host(op, V, H, k, m, nc: int = 0, Bop=None, omega=None,
 def extend_dispatch(op, V, H, k, m, nc=0, Bop=None, omega=None, key=None):
     """Choose the jitted or host extension based on the operator's
     host-callback requirement."""
-    if getattr(op, "host_callback", False):
-        return arnoldi_extend_host(op, V, H, k, m, nc, Bop, omega, key)
-    return arnoldi_extend(op, V, H, k, m, nc, Bop, omega, key)
+    from ..sys.events import log_enabled, log_event
+
+    nnz = getattr(op, "nnz", 2 * V.shape[0])
+    flops = (m - k) * (2 * nnz + 8.0 * V.shape[0] * m)  # SpMV + CGS2
+    with log_event("BV_MatArnoldi", flops=flops):
+        if getattr(op, "host_callback", False):
+            out = arnoldi_extend_host(op, V, H, k, m, nc, Bop, omega, key)
+        else:
+            out = arnoldi_extend(op, V, H, k, m, nc, Bop, omega, key)
+        if log_enabled():
+            import jax
+
+            jax.block_until_ready(out[0])
+        return out

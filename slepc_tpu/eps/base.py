@@ -370,6 +370,12 @@ class EPS:
         self._default_dims()
         self._default_tol()
         self._default_st()
+        if (self.deflation_space is not None
+                and getattr(self.st, "name", "") in ("sinvert", "cayley")):
+            # singular-pencil support: deflation vectors that lie in the
+            # nullspace of A - sigma*B get attached to the factorization's
+            # KSP (reference: EPSSetUp -> STCheckNullSpace, epssetup.c)
+            self.st.check_null_space(self.deflation_space)
         self._setup_done = True
         return self
 
@@ -436,6 +442,60 @@ class EPS:
             used[j] = True
             Ym[:, i] = Y[:, j]
         self._left_eigenvectors = Ym
+
+    # -- checkpoint / resume ------------------------------------------------
+    def save_state(self, path: str):
+        """Persist solver state to an .npz file so a later run can resume
+        (reference parity: results/vectors via PETSc binary viewers,
+        epssolve.c:110,188-199, plus EPSSetInitialSpace warm starts; the
+        iteration-state bundle here extends that with the Krylov basis)."""
+        basis = np.asarray(self.V.array) if self.V is not None else None
+        np.savez(path,
+                 eigenvalues=self.eigenvalues,
+                 eigenvectors=(self._eigenvectors
+                               if self._eigenvectors is not None
+                               else np.zeros((self.n, 0))),
+                 errests=self.errests,
+                 nconv=self.nconv,
+                 its=self.its,
+                 basis=basis if basis is not None else np.zeros((0, 0)))
+        return self
+
+    def load_state(self, path: str):
+        """Warm-start this solver from a saved state: converged vectors
+        (and any leftover basis columns) become the initial space, so the
+        restarted Krylov run converges in few iterations."""
+        d = np.load(path)
+        X = d["eigenvectors"]
+        basis = d["basis"]
+        cols = []
+        if X.size:
+            # first column = sum of converged vectors: the Krylov start
+            # vector then has components along every wanted direction; a
+            # tiny random perturbation guards the exactly-invariant corner
+            # (breakdown at step nconv) without slowing re-convergence
+            v0 = X.sum(axis=1, keepdims=True)
+            rng = np.random.default_rng(1)
+            pert = 100.0 * np.finfo(
+                np.dtype(self.A.dtype) if self.A is not None
+                and np.issubdtype(np.dtype(self.A.dtype), np.floating)
+                else np.float64).eps
+            v0 = v0 + pert * np.linalg.norm(v0) * rng.standard_normal(
+                v0.shape) / np.sqrt(v0.shape[0])
+            cols.append(v0)
+            cols.append(X)
+        if basis.size:
+            # a few extra basis directions beyond the converged ones
+            extra = basis[:, X.shape[1]: X.shape[1] + 4]
+            if extra.size:
+                cols.append(extra)
+        if cols:
+            init = np.concatenate(cols, axis=1)
+            if self.A is not None and not np.issubdtype(
+                    np.dtype(self.A.dtype), np.complexfloating):
+                init = init.real if np.iscomplexobj(init) else init
+            self.set_initial_space(init)
+        return self
 
     # -- results -----------------------------------------------------------
     def get_converged(self) -> int:

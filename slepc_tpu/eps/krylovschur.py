@@ -152,10 +152,13 @@ class KrylovSchur(EPSSolver):
             Hh = np.asarray(H)
             S = Hh[k:nv, k:nv]
 
+            from ..sys.events import log_event
+
             # ---- projected solve (DS tier, host) ----
             if hermitian and not indefinite:
                 Ssym = 0.5 * (S + S.conj().T)
-                theta, Q = np.linalg.eigh(Ssym)
+                with log_event("DS_Solve", flops=9.0 * S.shape[0] ** 3):
+                    theta, Q = np.linalg.eigh(Ssym)
                 theta = theta.astype(complex)
                 Tproj = None
             elif indefinite:
@@ -197,7 +200,8 @@ class KrylovSchur(EPSSolver):
                                                  / max(beta, 1e-300) ** 2))
                     except np.linalg.LinAlgError:
                         S_orig = None
-                Tproj, Q, theta = schur(S)
+                with log_event("DS_Solve", flops=25.0 * S.shape[0] ** 3):
+                    Tproj, Q, theta = schur(S)
 
             # ---- sort wanted-first (keys on back-transformed values) ----
             lam_approx = st.back_transform(theta)
@@ -340,8 +344,10 @@ class KrylovSchur(EPSSolver):
                     # real dtype but complex rotation can't happen: sort_schur
                     # keeps real Schur form, Q stays real
                     raise AssertionError("real Schur rotation must be real")
-                Vnew = Vact @ Qk
-                V.array = V.array.at[:, nc + k: nc + k + kl].set(Vnew)
+                with log_event("BV_MultInPlace",
+                               flops=2.0 * n * (nv - k) * kl):
+                    Vnew = Vact @ Qk
+                    V.array = V.array.at[:, nc + k: nc + k + kl].set(Vnew)
 
                 # ---- update H: locked diag + kept block + arrow row ----
                 Hh2 = np.zeros_like(Hh)

@@ -16,6 +16,11 @@ Design notes (vs the general host-orchestrated loop in krylovschur.py):
     thick-restart truncation (DSTruncate + BVMultInPlace).
   * everything shards over the "rows" mesh axis: the SpMV, the basis
     GEMMs, and the reductions (psum inserted by GSPMD).
+  * the basis is stored TRANSPOSED, V^T with shape (ncv+1, n): the long
+    axis n sits on the TPU lane dimension (multiple of 128), so the
+    orthogonalization GEMVs stream at full HBM width.  The (n, ncv+1)
+    column layout would put ncv+1 (e.g. 33) on the lane axis and pad it
+    to 128 — a ~4x bandwidth tax on every dot/update.
 """
 
 from __future__ import annotations
@@ -37,8 +42,9 @@ def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
 
     Args:
       op:  Hermitian LinearOperator pytree.
-      V:   (n, ncv+1) basis; columns [0, j0) orthonormal, column j0 = start
-           vector (normalized).
+      V:   (ncv+1, n) TRANSPOSED basis; rows [0, j0) orthonormal, row j0 =
+           start vector (normalized).  See the layout note in the module
+           docstring.
       H:   (ncv+1, ncv) projected coefficients (diag + arrow after restart).
       j0:  traced int — extension starts here.
       tol: relative tolerance.
@@ -50,7 +56,7 @@ def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
         theta   — (ncv,) Ritz values in wanted-first order
         errest  — (ncv,) residual-based error estimates (same order)
     """
-    n, _ = V.shape
+    _, n = V.shape
     rdtype = jnp.zeros((), V.dtype).real.dtype
     eps_mach = jnp.finfo(rdtype).eps
 
@@ -62,7 +68,7 @@ def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
     # many restarts — reliable for few-restart runs only. ----
     def body(j, state):
         V, H = state
-        v = V[:, j]
+        v = V[j]
         w = op.mult(v)
         mask = (jnp.arange(ncv + 1) < j + 1).astype(rdtype)
 
@@ -72,24 +78,24 @@ def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
             # branch blocks XLA pipelining (33 vs 17.5 ms/col at 8.4M
             # rows) even though it halves average bandwidth; branch-free
             # wins on this hardware (set passes=1 for CGS1)
-            c = (V.conj().T @ w) * mask
-            w = w - V @ c
+            c = (V.conj() @ w) * mask
+            w = w - c @ V
             c_tot = c
             for _ in range(passes - 1):
-                c2 = (V.conj().T @ w) * mask
-                w = w - V @ c2
+                c2 = (V.conj() @ w) * mask
+                w = w - c2 @ V
                 c_tot = c_tot + c2
             return w, c_tot
 
         if reorth_period > 1:
             def local_orth(w):
                 j0loc = jnp.maximum(j - 1, 0)
-                Vloc = jax.lax.dynamic_slice(V, (0, j0loc), (V.shape[0], 2))
+                Vloc = jax.lax.dynamic_slice(V, (j0loc, 0), (2, V.shape[1]))
                 locmask = ((jnp.arange(2) + j0loc) < j + 1).astype(rdtype)
-                cl = (Vloc.conj().T @ w) * locmask
-                w = w - Vloc @ cl
-                cl2 = (Vloc.conj().T @ w) * locmask
-                w = w - Vloc @ cl2
+                cl = (Vloc.conj() @ w) * locmask
+                w = w - cl @ Vloc
+                cl2 = (Vloc.conj() @ w) * locmask
+                w = w - cl2 @ Vloc
                 c_tot = jnp.zeros(ncv + 1, dtype=V.dtype)
                 c_tot = jax.lax.dynamic_update_slice(c_tot, cl + cl2, (j0loc,))
                 return w, c_tot
@@ -112,14 +118,14 @@ def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
             opmask = getattr(op, "mask", None)
             if opmask is not None:
                 rnd = rnd * opmask  # padded layouts: keep halo zero
-            rnd = rnd - V @ ((V.conj().T @ rnd) * mask)
-            rnd = rnd - V @ ((V.conj().T @ rnd) * mask)
+            rnd = rnd - ((V.conj() @ rnd) * mask) @ V
+            rnd = rnd - ((V.conj() @ rnd) * mask) @ V
             return rnd, jnp.linalg.norm(rnd)
 
         w, beta_eff = jax.lax.cond(is_brk, mk_restart,
                                    lambda _: (w, beta), None)
         safe = jnp.where(beta_eff > 0, beta_eff, 1.0)
-        V = V.at[:, j + 1].set(w / safe)
+        V = V.at[j + 1].set(w / safe)
         col = jnp.zeros((ncv + 1,), dtype=H.dtype)
         col = col.at[:ncv].set(c_tot[:ncv])
         col = jax.lax.dynamic_update_index_in_dim(
@@ -139,18 +145,18 @@ def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
     # bound carries over.
     def body_partial(j, state):
         V, H, om_prev, om_cur, force = state
-        v = V[:, j]
+        v = V[j]
         w = op.mult(v)
         mask = (jnp.arange(ncv + 1) < j + 1).astype(rdtype)
 
         # local orth against v_{j-1}, v_j (always; CGS x2 on 2 columns)
         j0loc = jnp.maximum(j - 1, 0)
-        Vloc = jax.lax.dynamic_slice(V, (0, j0loc), (V.shape[0], 2))
+        Vloc = jax.lax.dynamic_slice(V, (j0loc, 0), (2, V.shape[1]))
         locmask = ((jnp.arange(2) + j0loc) < j + 1).astype(rdtype)
-        cl = (Vloc.conj().T @ w) * locmask
-        w = w - Vloc @ cl
-        cl2 = (Vloc.conj().T @ w) * locmask
-        w = w - Vloc @ cl2
+        cl = (Vloc.conj() @ w) * locmask
+        w = w - cl @ Vloc
+        cl2 = (Vloc.conj() @ w) * locmask
+        w = w - cl2 @ Vloc
         c_tot = jnp.zeros(ncv + 1, dtype=V.dtype)
         c_tot = jax.lax.dynamic_update_slice(c_tot, cl + cl2, (j0loc,))
         beta_loc = jnp.linalg.norm(w)
@@ -188,10 +194,10 @@ def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
         need_full = jnp.logical_or(jnp.logical_or(tripped, force), j == j0)
 
         def do_full(w):
-            c = (V.conj().T @ w) * mask
-            w1 = w - V @ c
-            c2 = (V.conj().T @ w1) * mask
-            return w1 - V @ c2, c + c2
+            c = (V.conj() @ w) * mask
+            w1 = w - c @ V
+            c2 = (V.conj() @ w1) * mask
+            return w1 - c2 @ V, c + c2
 
         w, c_extra = jax.lax.cond(
             need_full, do_full,
@@ -214,14 +220,14 @@ def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
             opmask = getattr(op, "mask", None)
             if opmask is not None:
                 rnd = rnd * opmask
-            rnd = rnd - V @ ((V.conj().T @ rnd) * mask)
-            rnd = rnd - V @ ((V.conj().T @ rnd) * mask)
+            rnd = rnd - ((V.conj() @ rnd) * mask) @ V
+            rnd = rnd - ((V.conj() @ rnd) * mask) @ V
             return rnd, jnp.linalg.norm(rnd)
 
         w, beta_eff = jax.lax.cond(is_brk, mk_restart,
                                    lambda _: (w, beta), None)
         safe = jnp.where(beta_eff > 0, beta_eff, 1.0)
-        V = V.at[:, j + 1].set(w / safe)
+        V = V.at[j + 1].set(w / safe)
         col = jnp.zeros((ncv + 1,), dtype=H.dtype)
         col = col.at[:ncv].set(c_tot[:ncv])
         col = jax.lax.dynamic_update_index_in_dim(
@@ -271,10 +277,11 @@ def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
     kl = jnp.minimum(k2 + l, ncv - 1)
 
     # ---- rotate and rebuild (BVMultInPlace + DSTruncate analog) ----
-    Vrot = V[:, :ncv] @ Q.astype(V.dtype)
-    V = V.at[:, :ncv].set(Vrot)
-    vres = V[:, ncv]
-    V = jax.lax.dynamic_update_slice(V, vres[:, None], (0, kl))
+    # transposed layout: new rows = Q^T @ old rows (== columns V Q)
+    Vrot = Q.astype(V.dtype).T @ V[:ncv]
+    V = V.at[:ncv].set(Vrot)
+    vres = V[ncv]
+    V = jax.lax.dynamic_update_slice(V, vres[None, :], (kl, 0))
     keep = (jnp.arange(ncv) < kl).astype(H.dtype)
     Hnew = jnp.zeros_like(H)
     Hnew = Hnew.at[jnp.arange(ncv), jnp.arange(ncv)].set(
@@ -322,11 +329,11 @@ def ks_hep_solve(eps, op, which: str, Bip=None) -> bool:
         v0 = np.asarray(v0j)
         v0 = v0 / np.linalg.norm(v0)
 
-    from ..sys.mesh import device_put_rows
+    from ..sys.mesh import device_put_basis_t
 
-    V = jnp.zeros((n, ncv + 1), dtype=dtype)
-    V = V.at[:, 0].set(jnp.asarray(v0, dtype=dtype))
-    V = device_put_rows(V)
+    V = jnp.zeros((ncv + 1, n), dtype=dtype)
+    V = V.at[0].set(jnp.asarray(v0, dtype=dtype))
+    V = device_put_basis_t(V)
     H = jnp.zeros((ncv + 1, ncv), dtype=dtype)
     key = jax.random.PRNGKey(12345)
 
@@ -334,13 +341,18 @@ def ks_hep_solve(eps, op, which: str, Bip=None) -> bool:
     j0 = jnp.asarray(0)
     k2 = 0
     theta = errest = None
+    from ..sys.events import log_event
+
     while eps.its < eps.max_it:
         eps.its += 1
-        V, H, j0, k2j, theta, errest, beta = ks_hep_cycle(
-            op, V, H, j0, eps.tol, key, ncv=ncv, which=which,
-            reorth_period=getattr(eps, "reorth_period", 1),
-            reorth=getattr(eps, "reorth", "full"))
-        k2 = int(k2j)
+        nnz_op = getattr(op, "nnz", 2 * n)
+        with log_event("EPS_KSCycle_jit",
+                       flops=ncv * (2.0 * nnz_op + 8.0 * n * ncv)):
+            V, H, j0, k2j, theta, errest, beta = ks_hep_cycle(
+                op, V, H, j0, eps.tol, key, ncv=ncv, which=which,
+                reorth_period=getattr(eps, "reorth_period", 1),
+                reorth=getattr(eps, "reorth", "full"))
+            k2 = int(k2j)
         if len(eps.monitor):
             eps.monitor(eps, eps.its, k2, np.asarray(theta), np.asarray(errest))
         if eps.stopping is not None and eps.stopping(eps, eps.its, k2, eps.nev):
@@ -359,13 +371,13 @@ def ks_hep_solve(eps, op, which: str, Bip=None) -> bool:
     st = eps.st
     lam = st.back_transform(theta[:k2].astype(complex))
     if padded is not None and k2 > 0:
-        cols = [np.asarray(padded.unpad(V[:, i])) for i in range(k2)]
+        cols = [np.asarray(padded.unpad(V[i])) for i in range(k2)]
         X = np.stack(cols, axis=1)
         nrmX = np.linalg.norm(X, axis=0)
         nrmX[nrmX == 0] = 1
         X = X / nrmX
     else:
-        X = np.asarray(V[:, :k2])
+        X = np.asarray(V[:k2]).T
     if getattr(st, "requires_rayleigh", False) and k2 > 0:
         from .krylovschur import _rayleigh_values
 

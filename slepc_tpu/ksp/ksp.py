@@ -79,12 +79,76 @@ class KSP:
 
     def solve(self, b, x0=None):
         """Solve A x = b; b may be (n,) or (n, k)."""
+        from ..sys.events import log_event
+
+        with log_event(f"KSP_Solve_{self.method}"):
+            return self._solve_inner(b, x0)
+
+    def set_nullspace(self, N) -> "KSP":
+        """Attach an orthonormal nullspace basis N (n x c): right-hand
+        sides and solutions are projected onto range(A) — the reference's
+        MatSetNullSpace consumed by KSP (see STCheckNullSpace,
+        stsles.c:413-451).  For direct solves the factorization switches
+        to the bordered system [[A, N], [N^H, 0]], which is nonsingular
+        when N spans the nullspace of the (symmetric-range) A."""
+        self._nullspace = jnp.asarray(N) if N is not None else None
+        self._bordered = None
+        if N is not None and self.method == "direct":
+            try:
+                import scipy.sparse as sp
+                import scipy.sparse.linalg as spla
+
+                As = self.A.to_scipy()
+                Nn = np.asarray(N)
+                n, c = Nn.shape
+                if sp.issparse(As):
+                    M = sp.bmat([[As, sp.csc_matrix(Nn)],
+                                 [sp.csc_matrix(Nn.conj().T), None]],
+                                format="csc")
+                    lu = spla.splu(M)
+                    self._bordered = ("sparse", lu, n, c)
+                else:
+                    M = np.block([[np.asarray(As), Nn],
+                                  [Nn.conj().T, np.zeros((c, c), As.dtype)]])
+                    import scipy.linalg as sla
+
+                    self._bordered = ("dense", sla.lu_factor(M), n, c)
+            except Exception:
+                self._bordered = None
+        return self
+
+    def _project_nullspace(self, v):
+        N = getattr(self, "_nullspace", None)
+        if N is None:
+            return v
+        if jnp.ndim(v) == 2:
+            return v - N @ (N.conj().T @ v)
+        return v - N @ (N.conj().T @ v)
+
+    def _solve_inner(self, b, x0=None):
+        b = self._project_nullspace(b)
+        bd = getattr(self, "_bordered", None)
+        if bd is not None:
+            kind, fac, n, c = bd
+            bn = np.asarray(b)
+            one_d = bn.ndim == 1
+            if one_d:
+                bn = bn[:, None]
+            rhs = np.concatenate([bn, np.zeros((c, bn.shape[1]), bn.dtype)])
+            if kind == "sparse":
+                xs = fac.solve(rhs)
+            else:
+                import scipy.linalg as sla
+
+                xs = sla.lu_solve(fac, rhs)
+            x = jnp.asarray(xs[:n, 0] if one_d else xs[:n])
+            return x
         if self.method == "direct":
-            return self._direct.solve(b)
+            return self._project_nullspace(self._direct.solve(b))
         if self.method == "preonly":
             return self._M(b) if self._M is not None else b
         if jnp.ndim(b) == 2:
-            cols = [self.solve(b[:, j], None if x0 is None else x0[:, j])
+            cols = [self._solve_inner(b[:, j], None if x0 is None else x0[:, j])
                     for j in range(b.shape[1])]
             return jnp.stack(cols, axis=1)
         matvec = self.A.mult
@@ -103,7 +167,7 @@ class KSP:
                 solve_method="batched")
         else:
             raise ValueError(f"unknown KSP method {self.method}")
-        return x
+        return self._project_nullspace(x)
 
     def inertia(self):
         """(n_negative, n_zero, n_positive) of the symmetric operator —

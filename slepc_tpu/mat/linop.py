@@ -101,10 +101,12 @@ class LinearOperator:
 
     def norm_estimate(self) -> float:
         """Cheap Frobenius-norm estimate (backward-error weights)."""
+        if self.shape[0] > 4096:
+            return norm_estimate_randomized(self)
         try:
             return float(np.linalg.norm(np.asarray(self.to_dense())))
         except Exception:
-            return 1.0
+            return norm_estimate_randomized(self)
 
     # ---- conversions ----------------------------------------------------
     def to_dense(self) -> jnp.ndarray:
@@ -588,6 +590,22 @@ class DiagonalOperator(LinearOperator):
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(children[0])
+
+
+def norm_estimate_randomized(A: "LinearOperator", seed: int = 0) -> float:
+    """Randomized matrix-norm estimate: sqrt(n)*||A v|| for a normalized
+    Gaussian v (reference: MatNormEstimate, src/sys/mat/matutil.c:391 —
+    overestimates ||A||_2 with high probability; one matvec)."""
+    import jax.numpy as jnp
+
+    n = A.shape[1]
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(n)
+    if np.issubdtype(np.dtype(A.dtype), np.complexfloating):
+        v = v + 1j * rng.standard_normal(n)
+    v = v / np.linalg.norm(v)
+    w = A.mult(jnp.asarray(v, dtype=A.dtype))
+    return float(jnp.linalg.norm(w)) * float(np.sqrt(n))
 
 
 def aslinearoperator(A) -> LinearOperator:

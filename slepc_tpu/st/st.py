@@ -132,6 +132,40 @@ class ST:
         """Inner-product matrix for the solver's BV (B for GHEP)."""
         return None
 
+    def check_null_space(self, vectors) -> int:
+        """Test deflation-space vectors for membership in the nullspace of
+        the ST coefficient matrix A - sigma*B; passing vectors are attached
+        to the KSP as a nullspace so singular pencils solve cleanly
+        (reference: STCheckNullSpace / STCheckNullSpace_Default,
+        stsles.c:413-500 — consumed via EPSSetDeflationSpace).
+
+        Returns the number of nullspace vectors found."""
+        import jax.numpy as jnp
+
+        V = jnp.asarray(vectors)
+        if V.ndim == 1:
+            V = V[:, None]
+        S = self._shifted_operator(self.sigma)
+        SV = S.mult(V)
+        norms = np.asarray(jnp.linalg.norm(SV, axis=0))
+        vnorms = np.asarray(jnp.linalg.norm(V, axis=0))
+        eps_m = np.finfo(np.dtype(self.A.dtype)).eps
+        tolzero = 10.0 * np.sqrt(eps_m)
+        keep = norms < tolzero * np.maximum(vnorms, 1e-300)
+        c = int(np.sum(keep))
+        if c == 0:
+            self.nullspace = None
+            return 0
+        N = np.asarray(V)[:, keep]
+        # orthonormalize the nullspace basis
+        Nq, _ = np.linalg.qr(N)
+        self.nullspace = jnp.asarray(Nq)
+        if self.ksp is None:
+            self.op()  # builds the KSP for factorizing transforms
+        if self.ksp is not None and hasattr(self.ksp, "set_nullspace"):
+            self.ksp.set_nullspace(self.nullspace)
+        return c
+
 
 def _ksp_uses_host(ksp) -> bool:
     """True when the KSP's solve path runs on host (sparse LU / LDL^T) —

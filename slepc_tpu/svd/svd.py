@@ -85,7 +85,12 @@ class SVD:
 
     def solve(self):
         if self.B is not None:
-            self._solve_gsvd()
+            if self.solver in ("trlanczos", "lanczos"):
+                from .trlanczos import gsvd_jbd_solve
+
+                gsvd_jbd_solve(self)
+            else:
+                self._solve_gsvd()
         elif self.omega is not None:
             self._solve_hsvd()
         elif self.solver == "cross":

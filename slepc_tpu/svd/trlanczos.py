@@ -161,3 +161,240 @@ def trlanczos_solve(svd) -> None:
     svd.U = svd.U[:, order]
     svd.V = svd.V[:, order]
     svd.errests = err_locked[:kk][order]
+
+
+def gsvd_jbd_solve(svd) -> None:
+    """GSVD of (A, B) via joint bidiagonalization of Z = [A; B].
+
+    Reference: SVDSolve_TRLanczos_GSVD and SVDLanczosGUpper
+    (src/svd/impls/trlanczos/trlanczos.c:994-1223): the Krylov basis V
+    lives in the STACKED space R^{m+p} and stays orthonormal; its top and
+    bottom blocks factor through separate orthonormal bases U1, U2 as
+    top(V) = U1 R1, bottom(V) = U2 R2.  Because V, U1, U2 are orthonormal,
+    [R1; R2] has orthonormal columns, so the projected problem is a CS
+    decomposition (R1 = U C W^H, R2 = Vm S W^H with W unitary) — solved
+    here from the SVD of R1 (no cross-product squaring).  Each extension
+    step pulls back to the right space with one least-squares solve
+    Z x = [u1; 0] through the normal equations (the reference's inner
+    KSP, trlanczos.c:59-65).  Coefficients are fully harvested into
+    R1/R2, so restarts need no extra-row bookkeeping: the projected pair
+    is exact in the RAW dense state.
+
+    Unlike the cross-pencil route (svd.py _solve_gsvd_cross), conditioning
+    depends on kappa(Z), not kappa(Z)^2.
+    """
+    A, B = svd.A, svd.B
+    m, n = A.shape
+    p = B.shape[0]
+    dtype = np.dtype(np.result_type(A.dtype, B.dtype))
+    nsv = svd.nsv
+    ncv = svd.ncv or min(n, max(2 * nsv, nsv + 15))
+    ncv = min(ncv, n)
+    tol = svd.tol if svd.tol is not None else (
+        1e-8 if dtype.itemsize >= 8 else 1e-5)
+    max_it = svd.max_it or max(100, 2 * n // max(ncv, 1))
+    largest = getattr(svd.which, "value", "largest") == "largest"
+
+    from ..ksp import KSP
+    from ..mat.linop import ShellOperator
+
+    # least-squares pullback x = Z^+ [u; 0] via the normal equations
+    try:
+        import scipy.sparse as sp
+
+        As, Bs = A.to_scipy(), B.to_scipy()
+        NE = As.conj().T @ As + Bs.conj().T @ Bs
+        if sp.issparse(NE):
+            from ..mat.linop import AIJOperator
+
+            neop = AIJOperator.from_scipy(sp.csr_matrix(NE))
+        else:
+            from ..mat.linop import DenseOperator
+
+            neop = DenseOperator(np.asarray(NE))
+        ksp = KSP(neop, method="direct", hermitian=True)
+    except Exception:
+        def ne_mult(x):
+            return A.mult_h(A.mult(x)) + B.mult_h(B.mult(x))
+
+        neop = ShellOperator((n, n), dtype, ne_mult, ne_mult)
+        ksp = KSP(neop, method="cg", hermitian=True, rtol=1e-13)
+
+    def pull_back(u1):
+        return np.asarray(ksp.solve(jnp.asarray(A.mult_h(jnp.asarray(
+            u1, dtype=dtype)))))
+
+    def zmult(x):
+        xj = jnp.asarray(x, dtype=dtype)
+        return np.concatenate([np.asarray(A.mult(xj)), np.asarray(B.mult(xj))])
+
+    U1 = np.zeros((m, ncv), dtype=dtype)
+    U2 = np.zeros((p, ncv), dtype=dtype)
+    Vst = np.zeros((m + p, ncv + 1), dtype=dtype)
+    R1 = np.zeros((ncv, ncv), dtype=dtype)
+    R2 = np.zeros((ncv, ncv), dtype=dtype)
+
+    # x-space representatives: Vst[:, j] = Z @ Xr[:, j] BY CONSTRUCTION.
+    # Without this, tiny out-of-range components of V get re-amplified by
+    # 1/beta at every orthogonalization step (beta ~ 0.2 means 5x per
+    # column) and destroy the y <-> x correspondence within a few sweeps.
+    Xr = np.zeros((n, ncv + 1), dtype=dtype)
+    rng = np.random.default_rng(0)
+    u0 = rng.standard_normal(m)
+    if np.issubdtype(dtype, np.complexfloating):
+        u0 = u0 + 1j * rng.standard_normal(m)
+    x0 = pull_back(u0)
+    w0 = zmult(x0)
+    n0 = np.linalg.norm(w0)
+    Vst[:, 0] = w0 / n0
+    Xr[:, 0] = x0 / n0
+
+    def cgs2(Q, ncols, w):
+        """w -> (w - Q c, c) with 2-pass CGS against Q[:, :ncols]."""
+        if ncols == 0:
+            return w, np.zeros(0, dtype=dtype)
+        Qc = Q[:, :ncols]
+        c1 = Qc.conj().T @ w
+        w = w - Qc @ c1
+        c2 = Qc.conj().T @ w
+        w = w - Qc @ c2
+        return w, c1 + c2
+
+    # soft locking (like the jitted KS cycle): converged triplets stay in
+    # the leading columns of the full window and keep being rotated — the
+    # CS decomposition reproduces them as (nearly) unit vectors, so no
+    # locked/active split is needed and U1/U2 stay orthonormal under the
+    # full-window rotation.
+    kl = 0
+    k2 = 0
+    cvals = svals = None
+    errest = np.zeros(ncv)
+    svd.its = 0
+    nrmA = A.norm_estimate()
+    nrmB = B.norm_estimate()
+
+    def pull_back_stacked(vy):
+        return np.asarray(ksp.solve(jnp.asarray(
+            A.mult_h(jnp.asarray(vy[:m], dtype=dtype))
+            + B.mult_h(jnp.asarray(vy[m:], dtype=dtype)))))
+
+    while svd.its < max_it:
+        svd.its += 1
+        # ---- joint bidiagonalization extension (harvested RAW) ----
+        for j in range(kl, ncv):
+            a, ca = cgs2(U1, j, Vst[:m, j].copy())
+            alpha = np.linalg.norm(a)
+            b, cb = cgs2(U2, j, Vst[m:, j].copy())
+            alphah = np.linalg.norm(b)
+            if alpha < 1e-14 or alphah < 1e-14:
+                # breakdown: new random in-range direction
+                xr = pull_back(rng.standard_normal(m))
+                rnd = zmult(xr)
+                rnd, cr = cgs2(Vst, j, rnd)
+                xr = xr - Xr[:, :j] @ cr
+                nr = np.linalg.norm(rnd)
+                if nr < 1e-14:
+                    break
+                Vst[:, j] = rnd / nr
+                Xr[:, j] = xr / nr
+                a, ca = cgs2(U1, j, Vst[:m, j].copy())
+                alpha = np.linalg.norm(a)
+                b, cb = cgs2(U2, j, Vst[m:, j].copy())
+                alphah = np.linalg.norm(b)
+            U1[:, j] = a / alpha if alpha > 0 else a
+            U2[:, j] = b / alphah if alphah > 0 else b
+            R1[:j, j] = ca
+            R1[j, j] = alpha
+            R2[:j, j] = cb
+            R2[j, j] = alphah
+            # next stacked vector: least-squares pullback of [u1_j; 0]
+            xw = pull_back(U1[:, j])
+            w = zmult(xw)
+            w, cw = cgs2(Vst, j + 1, w)
+            xw = xw - Xr[:, :j + 1] @ cw
+            beta = np.linalg.norm(w)
+            if beta < 1e-14:
+                xw = pull_back(rng.standard_normal(m))
+                w = zmult(xw)
+                w, cw = cgs2(Vst, j + 1, w)
+                xw = xw - Xr[:, :j + 1] @ cw
+                beta = np.linalg.norm(w)
+            xw = xw / beta
+            # REFRESH from the x-representative: roundoff from the CGS
+            # subtraction leaves range(Z) and would be re-amplified by
+            # 1/beta at every subsequent step (beta ~ 0.2 makes that 5x
+            # per column); rebuilding v = Z x pins the column to range(Z)
+            # at fresh-eps level.  One light CGS pass restores the ~eps
+            # orthogonality the refresh perturbs.
+            w = zmult(xw)
+            w2, cw2 = cgs2(Vst, j + 1, w)
+            nn = np.linalg.norm(w2)
+            Vst[:, j + 1] = w2 / nn
+            Xr[:, j + 1] = (xw - Xr[:, :j + 1] @ cw2) / nn
+            beta_last = beta
+
+        # ---- projected CS decomposition of [R1; R2] (full window) ----
+        Uc, cvals, Wh = np.linalg.svd(R1)
+        W = Wh.conj().T  # unitary
+        order = np.argsort(-cvals) if largest else np.argsort(cvals)
+        cvals = cvals[order]
+        Uc = Uc[:, order]
+        W = W[:, order]
+        RW = R2 @ W
+        svals = np.linalg.norm(RW, axis=0)
+        sigma = cvals / np.where(svals > 1e-300, svals, 1e-300)
+
+        # ---- convergence: subspace residual estimate (reference
+        # SVDKrylovConvergence style).  A candidate's pencil residual
+        # leaks into the un-processed vector v_ncv only through the
+        # pullback of u1_{ncv-1}, so the estimate is the U-side rotation's
+        # last-row weight times the next-step norm — scale-free and
+        # immune to the kappa(Z)^2 floor an explicit pencil residual has
+        errest = beta_last * np.abs(Uc[ncv - 1, :]) / np.maximum(
+            np.abs(cvals), 1e-30)
+        k2 = 0
+        while k2 < ncv and errest[k2] < tol:
+            k2 += 1
+        done = k2 >= nsv or svd.its >= max_it
+
+        kl = k2 + max(1, (ncv - k2) // 2)
+        kl = min(kl, ncv - 1)
+        if done:
+            break
+
+        # ---- full-window rotation (restart compaction; W unitary) ----
+        Vst[:, :ncv] = Vst[:, :ncv] @ W
+        Xr[:, :ncv] = Xr[:, :ncv] @ W
+        U1[:, :ncv] = U1[:, :ncv] @ Uc
+        Vm = RW / np.where(svals > 1e-300, svals, 1e-300)
+        U2[:, :ncv] = U2[:, :ncv] @ Vm
+        R1 = np.diag(cvals).astype(dtype)
+        R2 = np.diag(svals).astype(dtype)
+        vres = Vst[:, ncv].copy()
+        xres = Xr[:, ncv].copy()
+        vres, cr = cgs2(Vst, kl, vres)
+        xres = xres - Xr[:, :kl] @ cr
+        nv_ = np.linalg.norm(vres)
+        if nv_ > 1e-14:
+            Vst[:, kl] = vres / nv_
+            Xr[:, kl] = xres / nv_
+        else:
+            xr = pull_back(rng.standard_normal(m))
+            rnd = zmult(xr)
+            rnd, cr = cgs2(Vst, kl, rnd)
+            xr = xr - Xr[:, :kl] @ cr
+            nr = np.linalg.norm(rnd)
+            Vst[:, kl] = rnd / nr
+            Xr[:, kl] = xr / nr
+
+    kk = min(k2, ncv)
+    svd.nconv = kk
+    # final quantities from the last CS decomposition (not yet rotated in
+    # when the loop exits via done)
+    sig = cvals[:kk] / np.where(svals[:kk] > 1e-300, svals[:kk], 1e-300)
+    svd.sigma = sig
+    svd.U = (U1[:, :ncv] @ Uc[:, :kk])
+    Vm = RW[:, :kk] / np.where(svals[:kk] > 1e-300, svals[:kk], 1e-300)
+    svd.V = (U2[:, :ncv] @ Vm)
+    svd.X = Xr[:, :ncv] @ W[:, :kk]
+    svd.errests = errest[:kk].copy()

@@ -71,6 +71,17 @@ def device_put_rows(x, mesh: Optional[Mesh] = None):
     return jax.device_put(x, s)
 
 
+def device_put_basis_t(x, mesh: Optional[Mesh] = None):
+    """Place a TRANSPOSED basis (m, n) with its LAST axis sharded over the
+    row mesh (the jitted Krylov cycle stores V^T so the long axis rides
+    the TPU lane dimension; on a mesh the n axis still shards by rows)."""
+    mesh = mesh if mesh is not None else _mesh
+    if mesh is None or np.shape(x)[-1] % mesh.shape[ROWS] != 0:
+        return jax.device_put(x)
+    spec = P(*([None] * (np.ndim(x) - 1)), ROWS)
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
 def shard_operator(op, mesh: Optional[Mesh] = None):
     """Place an operator's constituent arrays row-sharded on the mesh.
 

@@ -383,3 +383,76 @@ def test_bv_biorthogonalize():
         W.scale_column(j, np.sign(complex(delta).real) / np.sqrt(np.abs(complex(delta))))
     G = W.to_numpy().T @ V.to_numpy()
     np.testing.assert_allclose(G, np.eye(m), atol=1e-8)
+
+
+def test_norm_estimate_randomized():
+    """Randomized norm estimate (reference: MatNormEstimate,
+    matutil.c:391) overestimates ||A||_2 w.h.p. and stays within sqrt(n)."""
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((200, 200))
+    op = st.DenseOperator(A)
+    est = st.norm_estimate_randomized(op)
+    n2 = np.linalg.norm(A, 2)
+    assert est > 0.3 * n2
+    assert est < np.sqrt(200) * n2 * 1.01
+
+
+def test_st_check_null_space():
+    """Deflation vectors in the nullspace of A - sigma*B attach to the
+    KSP (reference: STCheckNullSpace, stsles.c:413)."""
+    n = 50
+    # A singular: constant vector in nullspace (Neumann-like Laplacian)
+    A = (np.diag(np.full(n, 2.0)) + np.diag(np.full(n - 1, -1.0), 1)
+         + np.diag(np.full(n - 1, -1.0), -1))
+    A[0, 0] = A[-1, -1] = 1.0
+    ones = np.ones(n) / np.sqrt(n)
+    op = st.DenseOperator(A)
+    stx = st.STSinvert([op], sigma=0.0)
+    nc = stx.check_null_space(ones)
+    assert nc == 1
+    assert stx.nullspace is not None
+    # solving with the singular matrix now projects out the nullspace
+    rng = np.random.default_rng(1)
+    b = rng.standard_normal(n)
+    b -= ones * (ones @ b)
+    x = np.asarray(stx.ksp.solve(jnp.asarray(b)))
+    assert abs(ones @ x) < 1e-8
+    r = A @ x - b
+    assert np.linalg.norm(r) < 1e-8 * np.linalg.norm(b)
+
+
+def test_event_logging():
+    """Named-event registry (reference: PetscLog events / -log_view)."""
+    st.log_begin()
+    A = st.laplacian_1d(200)
+    eps = st.EPS(A, problem_type="hep", which="smallest_real", nev=3)
+    eps.solve()
+    table = st.log_view()
+    assert ("BV_MatArnoldi" in table) or ("EPS_KSCycle_jit" in table)
+    # a non-fast-path run records the host DS tier too
+    st.log_reset()
+    st.log_begin()
+    eps2 = st.EPS(A, problem_type="nhep", which="largest_magnitude", nev=3)
+    eps2.solve()
+    table2 = st.log_view()
+    assert "BV_MatArnoldi" in table2
+    assert "DS_Solve" in table2
+    st.log_reset()
+
+
+def test_eps_checkpoint_resume(tmp_path):
+    """save_state/load_state: a resumed run re-converges immediately."""
+    A = st.laplacian_1d(400)
+    eps = st.EPS(A, problem_type="hep", which="largest_real", nev=4, ncv=24)
+    eps.solve()
+    assert eps.nconv >= 4
+    its_cold = eps.its
+    f = str(tmp_path / "state.npz")
+    eps.save_state(f)
+    eps2 = st.EPS(A, problem_type="hep", which="largest_real", nev=4, ncv=24)
+    eps2.load_state(f)
+    eps2.solve()
+    assert eps2.nconv >= 4
+    np.testing.assert_allclose(np.sort(eps2.eigenvalues[:4].real),
+                               np.sort(eps.eigenvalues[:4].real), rtol=1e-8)
+    assert eps2.its <= max(2, its_cold // 2)

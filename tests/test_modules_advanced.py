@@ -175,3 +175,35 @@ def test_pep_chebyshev_basis():
     assert pep.nconv >= 4
     for i in range(4):
         assert np.min(np.abs(wref - pep.eigenvalues[i])) < 1e-8
+
+
+def test_svd_gsvd_jbd_smallest_and_conditioning():
+    """JBD GSVD (reference trlanczos.c GUpper): converges the smallest
+    generalized singular values too, on a pair where the cross-pencil
+    formulation squares the conditioning."""
+    rng = np.random.default_rng(3)
+    m, p, n = 60, 50, 35
+    # moderately ill-conditioned A
+    U, _ = np.linalg.qr(rng.standard_normal((m, n)))
+    Vt, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    sv = np.logspace(0, -5, n)
+    Ad = U @ np.diag(sv) @ Vt.T
+    Bd = rng.standard_normal((p, n))
+    lam = sla.eigh(Ad.T @ Ad, Bd.T @ Bd, eigvals_only=True)
+    sig_ref = np.sqrt(np.maximum(np.sort(lam)[::-1], 0))
+    svd = st.SVD(st.DenseOperator(Ad), B=st.DenseOperator(Bd), nsv=3,
+                 ncv=20)
+    svd.solve()
+    assert svd.nconv >= 3
+    np.testing.assert_allclose(svd.sigma[:3], sig_ref[:3], rtol=1e-5)
+    # smallest gsv on a well-conditioned pair (like the reference, the
+    # Lanczos route does not resolve the smallest of an ill-conditioned A
+    # without inversion)
+    A2 = rng.standard_normal((m, n))
+    lam2 = sla.eigh(A2.T @ A2, Bd.T @ Bd, eigvals_only=True)
+    sref2 = np.sqrt(np.maximum(np.sort(lam2), 0))
+    svd2 = st.SVD(st.DenseOperator(A2), B=st.DenseOperator(Bd), nsv=2,
+                  ncv=20, which="smallest", max_it=80)
+    svd2.solve()
+    assert svd2.nconv >= 2
+    np.testing.assert_allclose(np.sort(svd2.sigma[:2]), sref2[:2], rtol=1e-5)

@@ -128,8 +128,8 @@ def test_halo_ks_cycle_end_to_end(row_mesh):
     rng = np.random.default_rng(0)
     v0 = rng.standard_normal(n)
     v0 /= np.linalg.norm(v0)
-    V = jnp.zeros((n, ncv + 1)).at[:, 0].set(jnp.asarray(v0))
-    V = jax.device_put(V, NamedSharding(row_mesh, P(ROWS, None)))
+    V = jnp.zeros((ncv + 1, n)).at[0].set(jnp.asarray(v0))
+    V = jax.device_put(V, NamedSharding(row_mesh, P(None, ROWS)))
     Hm = jnp.zeros((ncv + 1, ncv))
     j0 = jnp.asarray(0)
     key = jax.random.PRNGKey(0)
