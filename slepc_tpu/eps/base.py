@@ -207,6 +207,20 @@ class EPS:
             self.deflation_space = self.deflation_space[:, None]
         return self
 
+    def set_partitions(self, npart: int):
+        """Concurrent partitions for spectrum slicing and task-parallel
+        contour solves (reference: EPSKrylovSchurSetPartitions)."""
+        self.slice_npart = int(npart)
+        return self
+
+    def set_power_nonlinear(self, A_of_x, B_of_x=None):
+        """Nonlinear inverse power iteration A(x) x = lambda B(x) x
+        (reference: EPSPowerSetNonlinear + SNES update, power.c).
+        Callbacks map the current iterate to LinearOperators."""
+        self.power_nonlinear = (A_of_x, B_of_x)
+        self.solver_name = "power"
+        return self
+
     def set_convergence_test(self, name: str):
         assert name in ("rel", "abs", "norm")
         self.conv_test = name

@@ -61,28 +61,65 @@ class CISS(EPSSolver):
         if sparse and Bs is not None and not sp.issparse(Bs):
             Bs = sp.csr_matrix(Bs)
 
+        # point-solve strategy (the reference's subcommunicator
+        # parallelism over integration points, slepccontour.c:85-168):
+        #   batched    — ALL shifted systems in one jitted vmapped
+        #                iterative solve; with a task mesh the point axis
+        #                shards over device groups (TPU-native subcomms)
+        #   factorized — per-point host LU, thread-pool parallel
+        mode = getattr(eps, "ciss_solver", "auto")
+        if mode == "auto":
+            import jax as _jax
+
+            from ..mat.linop import AIJOperator, DenseOperator, DIAOperator
+
+            jittable = isinstance(A, (AIJOperator, DenseOperator, DIAOperator)) \
+                and (B is None or isinstance(
+                    B, (AIJOperator, DenseOperator, DIAOperator)))
+            mode = ("batched" if jittable
+                    and _jax.default_backend() == "tpu" else "factorized")
+
         lam = X = errs = None
         for it in range(self.refine + 1):
             eps.its = it + 1
             BV = V if Bs is None else (Bs @ V if sparse else np.asarray(Bs) @ V)
-            S = np.zeros((n, M * L), dtype=complex)
-            for j in range(npt):
-                # (z_j B - A) Y = B V   — one factorization per point
-                # (the reference's per-subcomm KSP solve, ciss.c:283-316)
-                if sparse:
-                    Mz = (z[j] * (Bs if Bs is not None else sp.eye(n, format="csr"))
-                          - As).tocsc()
-                    import scipy.sparse.linalg as spla
+            if mode == "batched":
+                from ..parallel.tasks import batched_shifted_solves
 
-                    Y = spla.splu(Mz.astype(complex)).solve(BV.astype(complex))
-                else:
-                    Mz = z[j] * (np.asarray(Bs) if Bs is not None else np.eye(n)) \
-                        - np.asarray(As)
-                    Y = np.linalg.solve(Mz.astype(complex), BV.astype(complex))
-                zk = 1.0
-                for k in range(M):
-                    S[:, k * L: (k + 1) * L] += (w[j] * zk) * Y
-                    zk *= z[j]
+                Yall = np.asarray(batched_shifted_solves(
+                    A, B, z, BV, tol=max(eps.tol * 1e-2, 1e-12),
+                    mesh=getattr(eps, "ciss_task_mesh", None)))
+                zk_pow = np.power.outer(z, np.arange(M)) * w[:, None]
+                # S_k = sum_j w_j z_j^k Y_j
+                S = np.concatenate(
+                    [np.einsum("j,jnl->nl", zk_pow[:, k], Yall)
+                     for k in range(M)], axis=1)
+            else:
+                from ..parallel.tasks import thread_map
+
+                def point_solve(j):
+                    # (z_j B - A) Y = B V — one factorization per point
+                    # (the reference's per-subcomm KSP, ciss.c:283-316)
+                    if sparse:
+                        Mz = (z[j] * (Bs if Bs is not None
+                                      else sp.eye(n, format="csr"))
+                              - As).tocsc()
+                        import scipy.sparse.linalg as spla
+
+                        return spla.splu(Mz.astype(complex)).solve(
+                            BV.astype(complex))
+                    Mz = z[j] * (np.asarray(Bs) if Bs is not None
+                                 else np.eye(n)) - np.asarray(As)
+                    return np.linalg.solve(Mz.astype(complex),
+                                           BV.astype(complex))
+
+                Ys = thread_map(point_solve, range(npt))
+                S = np.zeros((n, M * L), dtype=complex)
+                for j in range(npt):
+                    zk = 1.0
+                    for k in range(M):
+                        S[:, k * L: (k + 1) * L] += (w[j] * zk) * Ys[j]
+                        zk *= z[j]
 
             extraction = getattr(eps, "ciss_extraction", self.extraction)
             if extraction == "hankel":

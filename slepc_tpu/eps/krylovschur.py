@@ -54,6 +54,20 @@ class KrylovSchur(EPSSolver):
 
             KrylovSchurBSE().solve(eps)
             return
+        if eps.two_sided and not (eps.is_hermitian and eps.B is None):
+            # coupled BiKS variant (reference ks-twosided.c) when the
+            # transformed operator exposes an adjoint apply; otherwise the
+            # dual-run fallback in base._solve_left covers it
+            op_try = eps.st.op()
+            from ..mat.linop import ShellOperator as _Shell
+
+            has_adj = not (isinstance(op_try, _Shell)
+                           and op_try._rmatvec is None)
+            if has_adj:
+                from .ks_twosided import twosided_solve
+
+                twosided_solve(eps)
+                return
         st = eps.st
         op = st.op()
         n, ncv, nev, mpd = eps.n, eps.ncv, eps.nev, eps.mpd

@@ -46,26 +46,13 @@ def _inertia_at(eps: EPS, sigma: float) -> int:
     return neg
 
 
-def slice_solve(eps: EPS) -> None:
-    """Compute ALL eigenvalues in eps.interval by inertia-certified
-    bisection with shift-and-invert Krylov-Schur runs."""
-    a, b = eps.interval
-    ia, ib = _inertia_at(eps, a), _inertia_at(eps, b)
-    total = ib - ia
-    if total <= 0:
-        eps.nconv = 0
-        eps.eigenvalues = np.array([])
-        eps.errests = np.array([])
-        eps._eigenvectors = np.zeros((eps.n, 0), dtype=eps.A.dtype)
-        eps.reason = EPSConvergedReason.CONVERGED_TOL
-        return
-
+def _process_interval(eps: EPS, a: float, b: float, total: int):
+    """Inertia-certified bisection worklist for one partition; returns
+    (lams, errs, Xs, its) for the eigenvalues found inside [a, b]."""
     found_lam: List[float] = []
     found_err: List[float] = []
     found_X: List[np.ndarray] = []
     its_total = 0
-
-    # worklist of (lo, hi, count)
     stack: List[Tuple[float, float, int]] = [(a, b, total)]
     guard = 0
     while stack and guard < 4 * total + 20:
@@ -82,24 +69,21 @@ def slice_solve(eps: EPS) -> None:
         sub.which = Which.TARGET_MAGNITUDE
         sub.solve()
         its_total += sub.its
-        got = []
         for i in range(sub.nconv):
             lam_i = float(np.real(sub.eigenvalues[i]))
             if lo - 1e-12 <= lam_i <= hi + 1e-12:
                 if all(abs(lam_i - f) > max(1e-10, eps.tol * 10 * max(1, abs(lam_i)))
                        for f in found_lam):
-                    got.append((lam_i, float(sub.errests[i]) if i < len(sub.errests) else 0.0,
-                                np.asarray(sub._eigenvectors[:, i])))
-        for lam_i, err_i, x_i in got:
-            found_lam.append(lam_i)
-            found_err.append(err_i)
-            found_X.append(x_i)
+                    found_lam.append(lam_i)
+                    found_err.append(float(sub.errests[i])
+                                     if i < len(sub.errests) else 0.0)
+                    found_X.append(np.asarray(sub._eigenvectors[:, i]))
         # census check: how many in (lo, hi) are now found?
         n_found = sum(1 for f in found_lam if lo - 1e-12 <= f <= hi + 1e-12)
         if n_found < cnt:
             # bisect at sigma with inertia certificates
             isig = _inertia_at(eps, sigma)
-            cl = isig - _inertia_at(eps, lo) if lo != a else isig - ia
+            cl = isig - _inertia_at(eps, lo)
             ch = cnt - cl
             nf_l = sum(1 for f in found_lam if lo - 1e-12 <= f <= sigma)
             nf_h = sum(1 for f in found_lam if sigma < f <= hi + 1e-12)
@@ -109,6 +93,72 @@ def slice_solve(eps: EPS) -> None:
                 stack.append((lo, sigma, cl))
             if ch - nf_h > 0:
                 stack.append((sigma, hi, ch))
+    return found_lam, found_err, found_X, its_total
+
+
+def slice_solve(eps: EPS) -> None:
+    """Compute ALL eigenvalues in eps.interval by inertia-certified
+    bisection with shift-and-invert Krylov-Schur runs.
+
+    With ``eps.slice_npart = p > 1`` the interval splits into p
+    inertia-balanced partitions processed concurrently on a thread pool
+    — the reference's subcommunicator partitions (ks-slice.c npart,
+    EPSKrylovSchurSetPartitions) on the host-factorization tier."""
+    a, b = eps.interval
+    ia, ib = _inertia_at(eps, a), _inertia_at(eps, b)
+    total = ib - ia
+    if total <= 0:
+        eps.nconv = 0
+        eps.eigenvalues = np.array([])
+        eps.errests = np.array([])
+        eps._eigenvectors = np.zeros((eps.n, 0), dtype=eps.A.dtype)
+        eps.reason = EPSConvergedReason.CONVERGED_TOL
+        return
+
+    npart = int(getattr(eps, "slice_npart", 1) or 1)
+    npart = max(1, min(npart, total))
+    if npart == 1:
+        parts = [(a, b, total)]
+    else:
+        # inertia-balanced partition boundaries: bisection for the points
+        # where the census reaches i*total/npart (reference balances
+        # subintervals by eigenvalue count)
+        bounds = [a]
+        counts = []
+        prev_i = ia
+        for i in range(1, npart):
+            want = ia + (i * total) // npart
+            lo_b, hi_b = bounds[-1], b
+            for _ in range(40):
+                mid = 0.5 * (lo_b + hi_b)
+                if _inertia_at(eps, mid) < want:
+                    lo_b = mid
+                else:
+                    hi_b = mid
+            bounds.append(hi_b)
+            counts.append(want - prev_i)
+            prev_i = want
+        bounds.append(b)
+        counts.append(ib - prev_i)
+        parts = [(bounds[i], bounds[i + 1], counts[i])
+                 for i in range(npart) if counts[i] > 0]
+
+    from ..parallel.tasks import thread_map
+
+    results = thread_map(lambda p: _process_interval(eps, *p), parts)
+
+    found_lam: List[float] = []
+    found_err: List[float] = []
+    found_X: List[np.ndarray] = []
+    its_total = 0
+    for lams, errs, Xs, its in results:
+        its_total += its
+        for lam_i, err_i, x_i in zip(lams, errs, Xs):
+            if all(abs(lam_i - f) > max(1e-10, eps.tol * 10 * max(1, abs(lam_i)))
+                   for f in found_lam):
+                found_lam.append(lam_i)
+                found_err.append(err_i)
+                found_X.append(x_i)
 
     order = np.argsort(found_lam)
     eps.its = its_total

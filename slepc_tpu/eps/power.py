@@ -18,6 +18,9 @@ class Power(EPSSolver):
     shift_type = "constant"  # constant | rayleigh (RQI)
 
     def solve(self, eps: EPS) -> None:
+        if getattr(eps, "power_nonlinear", None) is not None:
+            _nonlinear_spi(eps)
+            return
         st = eps.st
         op = st.op()
         n = eps.n
@@ -87,6 +90,69 @@ def _deflate(v, X):
         xj = jnp.asarray(x)
         v = v - xj * jnp.vdot(xj, v)
     return v
+
+
+def _nonlinear_spi(eps: EPS) -> None:
+    """Nonlinear inverse power iteration (SPI) for A(x) x = lambda B(x) x
+    (reference: EPSPowerSetNonlinear, power.c — the SNES-driven update
+    solving A(x_k) y = B(x_k) x_k each step, used e.g. for
+    Gross-Pitaevskii-type problems).
+
+    The user supplies operator-valued callbacks via
+    ``eps.set_power_nonlinear(A_of_x, B_of_x=None)``: each maps the
+    current iterate (numpy array) to a LinearOperator.  Each step
+    factorizes/solves A(x_k) y = B(x_k) x_k (one KSP solve — the
+    reference's inner SNES step with a fixed Jacobian), normalizes with
+    the sign convention of the reference (first nonzero component
+    positive), and the eigenvalue is the generalized Rayleigh quotient."""
+    from ..ksp import KSP
+
+    A_of_x, B_of_x = eps.power_nonlinear
+    n = eps.n
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(n)
+    if eps.initial_space is not None:
+        x = np.asarray(eps.initial_space[:, 0]).copy()
+    x = x / np.linalg.norm(x)
+    eps.its = 0
+    lam = 0.0
+    err = np.inf
+    Ax_op = A_of_x(x)
+    while eps.its < eps.max_it:
+        eps.its += 1
+        Bx = (B_of_x(x).mult(jnp.asarray(x)) if B_of_x is not None
+              else jnp.asarray(x))
+        y = np.asarray(KSP(Ax_op, method="direct").solve(Bx))
+        ny = np.linalg.norm(y)
+        if ny == 0:
+            break
+        y = y / ny
+        # sign normalization for iteration comparability
+        i0 = int(np.argmax(np.abs(y)))
+        if np.real(y[i0]) < 0:
+            y = -y
+        # TRUE residual: evaluate the operators at the NEW iterate (the
+        # matrix is reused for the next step's solve)
+        Ay_op = A_of_x(y)
+        Ay = np.asarray(Ay_op.mult(jnp.asarray(y)))
+        By = (np.asarray(B_of_x(y).mult(jnp.asarray(y)))
+              if B_of_x is not None else y)
+        num = np.vdot(y, Ay)
+        den = np.vdot(y, By)
+        lam = num / den if abs(den) > 1e-300 else num
+        res = Ay - lam * By
+        err = eps.conv_measure(lam, float(np.linalg.norm(res)))
+        eps.monitor(eps, eps.its, 0, np.array([lam]), np.array([err]))
+        x = y
+        Ax_op = Ay_op
+        if err < eps.tol:
+            break
+    eps.nconv = 1 if err < eps.tol else 0
+    eps.eigenvalues = np.array([lam])
+    if abs(np.imag(lam)) < 1e-14:
+        eps.eigenvalues = eps.eigenvalues.real
+    eps.errests = np.array([err])
+    eps._eigenvectors = np.asarray(x)[:, None]
 
 
 EPS.register("power", Power)

@@ -10,5 +10,7 @@ PETSc src/mat/impls/aij/mpi/mmaij.c).
 """
 
 from .halo import HaloDIAOperator, dia_spmv_halo
+from .tasks import batched_shifted_solves, make_task_mesh, thread_map
 
-__all__ = ["dia_spmv_halo", "HaloDIAOperator"]
+__all__ = ["dia_spmv_halo", "HaloDIAOperator", "batched_shifted_solves",
+           "make_task_mesh", "thread_map"]

@@ -1,0 +1,115 @@
+"""Task parallelism over mesh sub-axes and host threads.
+
+Reference: SLEPc's subcommunicator machinery (SURVEY.md 2.13-5) — three
+independent uses: (a) spectrum-slicing interval partitions
+(ks-slice.c npart), (b) CISS integration points (slepccontour.c:85-168),
+(c) Newton-refinement per-eigenpair subcomms.
+
+TPU mapping (single-controller SPMD):
+  * device-iterative inner solves batch over the task dimension inside
+    ONE jitted program (vmap); sharding the task axis over a mesh axis
+    'tasks' makes GSPMD place independent tasks on disjoint device
+    groups — the mesh-sub-axis analog of PetscSubcomm,
+  * host factorizations (scipy splu / native LDL^T) parallelize over a
+    thread pool — the per-subcomm redundant-factorization pattern on the
+    host tier (factorization kernels release the GIL).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+TASKS = "tasks"
+
+
+def make_task_mesh(ntasks: Optional[int] = None) -> Mesh:
+    """1-D mesh over the task axis (quadrature points, slicing
+    partitions); ntasks defaults to all visible devices."""
+    devs = np.asarray(jax.devices())
+    if ntasks is not None:
+        devs = devs[:ntasks]
+    return Mesh(devs.reshape(-1), (TASKS,))
+
+
+def batched_shifted_solves(A, B, z: np.ndarray, RHS, *, tol: float = 1e-10,
+                           maxiter: int = 1000,
+                           mesh: Optional[Mesh] = None):
+    """Y[j] = (z_j B - A)^{-1} RHS for all contour points j, as ONE jitted
+    vmapped iterative solve (matrix-free BiCGStab with point-wise Jacobi
+    preconditioning).  With a mesh, the point axis is sharded over its
+    'tasks' axis so independent points run on disjoint device groups —
+    the TPU-native equivalent of the reference's per-subcomm KSP solves
+    (SlepcContourRedundantMat + ciss.c:283-316).
+
+    A, B: jittable LinearOperators (B=None means identity).  RHS: (n, L).
+    Returns Y with shape (npt, n, L), complex.
+    """
+    n, L = RHS.shape
+    npt = len(z)
+    zj = jnp.asarray(np.asarray(z, dtype=complex))
+    Rc = jnp.asarray(np.asarray(RHS, dtype=complex))
+
+    # point-wise Jacobi preconditioner from operator diagonals
+    diagA = _op_diag(A, n)
+    diagB = _op_diag(B, n) if B is not None else jnp.ones(n)
+
+    def solve_one(zk):
+        def mv(x):
+            bx = B.mult(x) if B is not None else x
+            return zk * bx - A.mult(x)
+
+        d = zk * diagB - diagA
+        dinv = jnp.where(jnp.abs(d) > 1e-300, 1.0 / d, 1.0)
+
+        def prec(x):
+            return dinv[:, None] * x
+
+        x, _ = jax.scipy.sparse.linalg.bicgstab(
+            mv, Rc, tol=tol, atol=0.0, maxiter=maxiter, M=prec)
+        return x
+
+    fn = jax.jit(jax.vmap(solve_one))
+    if mesh is not None and npt % mesh.shape[TASKS] == 0:
+        zj = jax.device_put(zj, NamedSharding(mesh, P(TASKS)))
+        out_shard = NamedSharding(mesh, P(TASKS, None, None))
+        fn = jax.jit(jax.vmap(solve_one), out_shardings=out_shard)
+    return fn(zj)
+
+
+def _op_diag(op, n: int):
+    """Best-effort operator diagonal (for Jacobi preconditioning)."""
+    from ..mat.linop import AIJOperator, DenseOperator, DIAOperator
+
+    try:
+        if isinstance(op, DIAOperator):
+            if 0 in op.offsets:
+                return op.diags[op.offsets.index(0)]
+            return jnp.zeros(n, dtype=op.dtype)
+        if isinstance(op, DenseOperator):
+            return jnp.diagonal(op.A)
+        if isinstance(op, AIJOperator):
+            eqs = op.indices == jax.lax.broadcasted_iota(
+                jnp.int32, op.indices.shape, 0)
+            return jnp.sum(jnp.where(eqs, op.data, 0), axis=1)
+    except Exception:
+        pass
+    return jnp.zeros(n)
+
+
+def thread_map(fn, items: Sequence, max_workers: Optional[int] = None):
+    """Run fn over items on a thread pool, preserving order — the host
+    tier of subcommunicator task parallelism (factorizations release the
+    GIL).  Used for spectrum-slicing partitions and per-point
+    factorizations when the operators are not device-jittable."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(items) <= 1:
+        return [fn(x) for x in items]
+    with ThreadPoolExecutor(max_workers=max_workers or min(8, len(items))) \
+            as ex:
+        return list(ex.map(fn, items))

@@ -87,18 +87,71 @@ def _chebyshev_indicator_coeffs(degree: int, a: float, b: float,
     return mu
 
 
+def _smooth_base_coeffs(degree: int, a: float, b: float,
+                        lmin: float, lmax: float,
+                        trans: Optional[float] = None) -> np.ndarray:
+    """Chebyshev coefficients of a FILTLAN-style smooth base filter.
+
+    Reference: the reference's STFILTER embeds a rewritten FILTLAN
+    (impls/filter/filtlan.c): instead of damping the Gibbs oscillations
+    of a sharp indicator, expand a SMOOTH base function — 1 on the
+    plateau, analytic (erf) transitions straddling the endpoints with
+    value 0.5 exactly at a and b (the plateau-threshold convention used
+    for convergence counting).  The expansion is ringing-free and the
+    plateau exactly flat; the transition band is ~16/degree, wider than
+    Jackson's ~3/degree, so this variant trades edge sharpness for
+    plateau fidelity."""
+    c = (lmax + lmin) / 2
+    e = (lmax - lmin) / 2
+    ta = float(np.clip((a - c) / e, -1, 1))
+    tb = float(np.clip((b - c) / e, -1, 1))
+    if trans is None:
+        # erf transition of scale s=tau/2 needs degree*s >~ 8 for the
+        # truncated expansion to be ringing-free
+        trans = max(0.12 * (tb - ta), 16.0 / max(degree, 16))
+    tau = float(min(trans, 0.49 * (tb - ta) if tb > ta else trans))
+
+    from scipy.special import erf
+
+    def phi(t):
+        # analytic (erf) transitions: Chebyshev coefficients decay
+        # exponentially, so no Gibbs sidelobes at moderate degree; value
+        # is exactly 0.5 at the interval endpoints
+        s = tau / 2.0
+        up = 0.5 * (1.0 + erf((t - ta) / s))
+        dn = 0.5 * (1.0 + erf((tb - t) / s))
+        return up * dn
+
+    # Chebyshev projection by Gauss-Chebyshev quadrature (exact to high
+    # order; the base function is smooth so no damping is needed)
+    N = max(8 * degree, 2048)
+    theta = (np.arange(N) + 0.5) * np.pi / N
+    vals = phi(np.cos(theta))
+    k = np.arange(degree + 1)
+    mu = 2.0 / N * (np.cos(np.outer(k, theta)) @ vals)
+    mu[0] *= 0.5
+    return mu
+
+
 class STFilter(ST):
     """Polynomial filter transform: Op = p(A) for interval [a, b]."""
 
     name = "filter"
 
     def __init__(self, matrices, interval=(0.0, 1.0), degree: int = 100,
-                 spectral_range: Optional[tuple] = None, damping: str = "jackson"):
+                 spectral_range: Optional[tuple] = None,
+                 damping: str = "jackson", transition: Optional[float] = None):
+        """damping: 'jackson' (damped indicator — sharpest transition at
+        ~3/degree, the default), 'lanczos' (sigma-damped), or 'filtlan'
+        (smooth erf base filter in the spirit of the reference's FILTLAN:
+        exactly-flat plateau and value 0.5 at the endpoints, at the cost
+        of a wider ~16/degree transition band)."""
         super().__init__(matrices, sigma=0.0)
         self.interval = tuple(interval)
         self.degree = int(degree)
         self.range = spectral_range
         self.damping = damping
+        self.transition = transition
         self.requires_rayleigh = True  # consumer must recover Rayleigh quotients
 
     def _compute_operator(self) -> LinearOperator:
@@ -107,7 +160,7 @@ class STFilter(ST):
             self.range = estimate_spectral_bounds(A)
         lmin, lmax = self.range
         a, b = self.interval
-        mu = _chebyshev_indicator_coeffs(self.degree, a, b, lmin, lmax, self.damping)
+        mu = self._coeffs(a, b, lmin, lmax)
         mu_j = jnp.asarray(mu, dtype=A.dtype)
         c = (lmax + lmin) / 2.0
         e = (lmax - lmin) / 2.0
@@ -135,11 +188,18 @@ class STFilter(ST):
         return ShellOperator((n, n), A.dtype, apply_filter, apply_filter,
                              nnz=A.nnz * self.degree)
 
+    def _coeffs(self, a, b, lmin, lmax) -> np.ndarray:
+        if self.damping == "filtlan":
+            return _smooth_base_coeffs(self.degree, a, b, lmin, lmax,
+                                       self.transition)
+        return _chebyshev_indicator_coeffs(self.degree, a, b, lmin, lmax,
+                                           self.damping)
+
     def filter_value(self, lam) -> np.ndarray:
         """p(lambda) evaluated on scalars (for thresholds/diagnostics)."""
         lmin, lmax = self.range
         a, b = self.interval
-        mu = _chebyshev_indicator_coeffs(self.degree, a, b, lmin, lmax, self.damping)
+        mu = self._coeffs(a, b, lmin, lmax)
         t = (2.0 * np.asarray(lam, dtype=float) - (lmax + lmin)) / (lmax - lmin)
         t = np.clip(t, -1.0, 1.0)
         th = np.arccos(t)

@@ -456,3 +456,15 @@ def test_eps_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(np.sort(eps2.eigenvalues[:4].real),
                                np.sort(eps.eigenvalues[:4].real), rtol=1e-8)
     assert eps2.its <= max(2, its_cold // 2)
+
+
+def test_st_filter_filtlan_base():
+    """Smooth (FILTLAN-style) base filter: exactly-flat plateau, 0.5 at
+    the endpoints, no ringing."""
+    A = st.laplacian_1d(80)
+    f = st.STFilter([A], interval=(1.0, 1.5), degree=300,
+                    spectral_range=(0.0, 4.0), damping="filtlan")
+    vals = f.filter_value(np.array([0.2, 1.0, 1.25, 1.5, 3.0]))
+    assert abs(vals[1] - 0.5) < 1e-3 and abs(vals[3] - 0.5) < 1e-3
+    assert abs(vals[2] - 1.0) < 1e-3
+    assert abs(vals[0]) < 1e-3 and abs(vals[4]) < 1e-3

@@ -220,3 +220,43 @@ def test_harmonic_extraction_nhep_pairs():
     assert eps.nconv >= 4
     for lam in eps.eigenvalues[:4]:
         assert np.min(np.abs(ew - lam)) < 1e-6
+
+
+def test_power_nonlinear_spi():
+    """Nonlinear inverse power iteration A(x) x = lambda x (reference:
+    EPSPowerSetNonlinear, power.c) on a Gross-Pitaevskii-type toy:
+    A(x) = Laplacian + g*diag(x^2)."""
+    n = 80
+    A0 = st.laplacian_1d(n)
+    A0d = np.asarray(A0.to_dense())
+    g = 0.5  # weak-interaction regime (strong coupling needs Newton/SNES)
+
+    def A_of_x(x):
+        return st.DenseOperator(A0d + g * np.diag(np.abs(np.asarray(x)) ** 2))
+
+    eps = st.EPS(A0, problem_type="hep", nev=1)
+    eps.set_tolerances(tol=1e-9, max_it=200)
+    eps.set_power_nonlinear(A_of_x)
+    eps.solve()
+    assert eps.nconv == 1
+    lam, x = eps.get_eigenpair(0)
+    r = (A0d + g * np.diag(np.abs(x) ** 2)) @ x - lam.real * x
+    assert np.linalg.norm(r) < 1e-7
+    assert lam.real > 0
+
+
+def test_spectrum_slicing_partitions():
+    """Slicing with npart concurrent partitions (reference:
+    EPSKrylovSchurSetPartitions / subcommunicator slicing, ks-slice.c)."""
+    n = 120
+    A = st.laplacian_1d(n)
+    exact = st.mat.generators.laplacian_1d_eigs(n)
+    a, b = 0.4, 1.1
+    inside = np.sort(exact[(exact > a) & (exact < b)])
+    eps = st.EPS(A, problem_type="hep")
+    eps.set_interval(a, b)
+    eps.slice_npart = 4
+    eps.solve()
+    assert eps.nconv == len(inside)
+    np.testing.assert_allclose(np.sort(eps.eigenvalues.real), inside,
+                               rtol=1e-7)
