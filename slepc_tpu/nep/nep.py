@@ -171,17 +171,90 @@ class NEP:
     def _solve_newton(self, improve: str):
         """SLP (reference slp.c: eigen-correction mu from the pencil
         (T(lam), T'(lam))) and RII (reference rii.c: fixed preconditioner
-        T(sigma)^{-1}, Rayleigh-functional update) with deflation against
-        previously converged eigenvectors."""
+        T(sigma)^{-1}, Rayleigh-functional update).
+
+        Deflation of converged pairs: for SLP with a dense path available,
+        EFFENBERGER minimal-invariant-pair deflation (reference:
+        nepdefl.c) — the extended problem
+          T~(lam) = [[T(lam), T(lam) X (lam I - H)^{-1}], [X^H, 0]]
+        is analytic, removes exactly the deflated eigenvalues, and stays
+        well-posed for multiple/clustered eigenvalues where orthogonal
+        projection fails; the converged pair extends (X, H).  RII and the
+        large-n path keep orthogonal-projection deflation."""
         n = self.n
         found_lam: List[complex] = []
         found_x: List[np.ndarray] = []
         errs: List[float] = []
         self.its = 0
         rng = np.random.default_rng(0)
+        use_defl = (improve == "slp" and n <= 2048
+                    and getattr(self, "deflation", "effenberger")
+                    == "effenberger")
+        Xp = np.zeros((n, 0), dtype=complex)  # invariant-pair basis
+        Hp = np.zeros((0, 0), dtype=complex)  # invariant-pair H
+
+        import scipy.linalg as sla
 
         for pair in range(self.nev):
-            lam = complex(self.target) + (0.01 * pair if found_lam else 0.0)
+            k = Xp.shape[1]
+            lam = complex(self.target) + (0.0 if use_defl and k else
+                                          (0.01 * pair if found_lam else 0.0))
+            if use_defl and k:
+                # ---- SLP on the Effenberger-extended problem ----
+                Ik = np.eye(k, dtype=complex)
+
+                def Ttil(z):
+                    Td = self._dense_T(z).astype(complex)
+                    G = np.linalg.solve(z * Ik - Hp, Ik)
+                    U = Td @ Xp @ G
+                    return np.block([[Td, U],
+                                     [Xp.conj().T,
+                                      np.zeros((k, k), dtype=complex)]])
+
+                def Ttil_prime(z):
+                    Td = self._dense_T(z).astype(complex)
+                    Tp = np.asarray(self.Tprime(z).to_dense()).astype(complex)
+                    G = np.linalg.solve(z * Ik - Hp, Ik)
+                    Up = Tp @ Xp @ G - Td @ Xp @ (G @ G)
+                    return np.block([[Tp, Up],
+                                     [np.zeros((k, n + k), dtype=complex)]])
+
+                y = None
+                converged = False
+                for it in range(self.max_it):
+                    self.its += 1
+                    mu_, Yp = sla.eig(Ttil(lam), Ttil_prime(lam))
+                    fin = np.isfinite(mu_)
+                    mu_, Yp = mu_[fin], Yp[:, fin]
+                    if mu_.size == 0:
+                        break
+                    j = int(np.argmin(np.abs(mu_)))
+                    lam = lam - mu_[j]
+                    y = Yp[:, j] / np.linalg.norm(Yp[:, j])
+                    rext = np.linalg.norm(Ttil(lam) @ y)
+                    if rext < self.tol:
+                        converged = True
+                        break
+                if y is None:
+                    break
+                s = np.linalg.solve(lam * Ik - Hp, y[n:])
+                xt = y[:n] + Xp @ s
+                nx = np.linalg.norm(xt)
+                if nx < 1e-12:
+                    break
+                xt, s = xt / nx, s / nx
+                # extend the minimal invariant pair
+                Xp = np.concatenate([Xp, xt[:, None]], axis=1)
+                Hp = np.block([[Hp, s[:, None]],
+                               [np.zeros((1, k), dtype=complex),
+                                np.array([[lam]], dtype=complex)]])
+                found_lam.append(complex(lam))
+                found_x.append(xt)
+                errs.append(self._residual(complex(lam), jnp.asarray(xt)))
+                if not converged:
+                    break
+                continue
+
             x = rng.standard_normal(n) + 0j
             # deflate: orthogonalize against converged vectors
             for xf in found_x:
@@ -220,6 +293,10 @@ class NEP:
             found_lam.append(lam)
             found_x.append(xnp)
             errs.append(self._residual(lam, jnp.asarray(xnp)))
+            if use_defl:
+                # seed the invariant pair from the first converged vector
+                Xp = np.concatenate([Xp, xnp[:, None]], axis=1)
+                Hp = np.array([[lam]], dtype=complex)
             if not converged:
                 break
 

@@ -58,7 +58,7 @@ def _dia_kernel(offsets: Tuple[int, ...], Rb: int,
     y_ref[:] = acc
 
 
-def prepare_diags(diags, n: int, block_rows: int = 64):
+def prepare_diags(diags, n: int, block_rows: int = 128):
     """Pad+reshape the diagonal data ONCE at operator setup: done per call
     it would dominate the kernel cost (it is the largest array touched)."""
     nd = diags.shape[0]
@@ -72,7 +72,7 @@ def prepare_diags(diags, n: int, block_rows: int = 64):
 
 @partial(jax.jit, static_argnames=("offsets", "n", "block_rows"))
 def dia_spmv_prepared(offsets: Tuple[int, ...], dp, x, n: int,
-                      block_rows: int = 64):
+                      block_rows: int = 128):
     """y = DIA @ x with pre-prepared diagonal blocks (see prepare_diags)."""
     nd = dp.shape[0]
     Rb = block_rows
@@ -108,7 +108,7 @@ def dia_spmv_prepared(offsets: Tuple[int, ...], dp, x, n: int,
     return y.reshape(npad)[:n]
 
 
-def dia_spmv(offsets, diags, x, block_rows: int = 64):
+def dia_spmv(offsets, diags, x, block_rows: int = 128):
     """Convenience wrapper preparing diagonals per call (benchmarks use
     dia_spmv_prepared with cached preparation)."""
     dp = prepare_diags(diags, x.shape[0], block_rows)
@@ -116,7 +116,7 @@ def dia_spmv(offsets, diags, x, block_rows: int = 64):
 
 
 def dia_spmv_supported(offsets: Sequence[int], n: int, dtype,
-                       block_rows: int = 256) -> bool:
+                       block_rows: int = 128) -> bool:
     """Kernel applicability: TPU backend, offsets fit the neighborhood."""
     h = max((abs(o) for o in offsets), default=0)
     if h >= (block_rows - 1) * W or n < W:
@@ -163,7 +163,7 @@ def _dia_kernel2(offsets: Tuple[int, ...], Rb: int, nblk: int,
 
 @partial(jax.jit, static_argnames=("offsets", "n", "block_rows"))
 def dia_spmv_padded(offsets: Tuple[int, ...], dp, xp, n: int,
-                    block_rows: int = 64):
+                    block_rows: int = 128):
     """SpMV wholly in the padded layout: xp and the returned yp are
     ((nblk+2)*Rb, W) arrays whose first/last Rb rows are zero halo.
 
@@ -318,7 +318,7 @@ def _dia_kernel3p(offsets: Tuple[int, ...], Rb: int, gt: int, gb: int,
 
 @partial(jax.jit, static_argnames=("offsets", "n", "block_rows"))
 def dia_spmv_padded_v3(offsets: Tuple[int, ...], dp, xp, n: int,
-                       block_rows: int = 64):
+                       block_rows: int = 128):
     """Chained-layout SpMV with narrow-halo reads (drop-in for
     dia_spmv_padded; same ((nblk+2)*Rb, W) in/out layout)."""
     nd = dp.shape[0]
@@ -368,7 +368,7 @@ def narrow_halo_ok(offsets: Sequence[int], block_rows: int) -> bool:
             and block_rows % gt == 0 and block_rows % gb == 0)
 
 
-def pad_vec(x, n: int, block_rows: int = 64):
+def pad_vec(x, n: int, block_rows: int = 128):
     """x (n,) -> padded layout ((nblk+2)*Rb, W)."""
     Rb = block_rows
     B = Rb * W
@@ -378,7 +378,7 @@ def pad_vec(x, n: int, block_rows: int = 64):
     return jax.lax.dynamic_update_slice(xp, body, (Rb, 0))
 
 
-def unpad_vec(xp, n: int, block_rows: int = 64):
+def unpad_vec(xp, n: int, block_rows: int = 128):
     Rb = block_rows
     return xp[Rb:, :].reshape(-1)[:n]
 
@@ -395,7 +395,7 @@ class DIAPaddedOperator:
     halo-free (mask available via ``interior_mask``).
     """
 
-    def __init__(self, offsets, dp, n, block_rows=64, mask=None):
+    def __init__(self, offsets, dp, n, block_rows=128, mask=None):
         self.offsets = tuple(offsets)
         self.dp = dp
         self.n_interior = n
@@ -408,7 +408,7 @@ class DIAPaddedOperator:
         self.mask = mask if mask is not None else self._make_mask()
 
     @classmethod
-    def from_dia(cls, A, block_rows: int = 64):
+    def from_dia(cls, A, block_rows: int = 128):
         dp = A.dp if A.dp is not None else prepare_diags(
             A.diags, A.shape[0], block_rows)
         return cls(A.offsets, dp, A.shape[0], block_rows)
@@ -427,7 +427,12 @@ class DIAPaddedOperator:
     def mult(self, x):
         Rb = self.block_rows
         xp = x.reshape(-1, W)
-        yp = dia_spmv_padded(self.offsets, self.dp, xp, self.n_interior, Rb)
+        if narrow_halo_ok(self.offsets, Rb):
+            yp = dia_spmv_padded_v3(self.offsets, self.dp, xp,
+                                    self.n_interior, Rb)
+        else:
+            yp = dia_spmv_padded(self.offsets, self.dp, xp,
+                                 self.n_interior, Rb)
         return yp.reshape(-1)
 
     mult_h = mult  # symmetric use only (HEP fast path)

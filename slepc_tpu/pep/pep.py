@@ -182,10 +182,16 @@ class PEP:
         self.rg = rg
         return self
 
-    def refine(self, steps: int = 3):
+    def refine(self, steps: int = 3, scheme: str = "simple"):
         """Newton iterative refinement of converged pairs (reference:
-        PEPSetRefine simple scheme, interface/peprefine.c)."""
-        refine_pep(self, steps)
+        PEPSetRefine, interface/peprefine.c).  scheme='simple' refines
+        each pair independently (thread-parallel); scheme='multiple'
+        refines the joint invariant pair (X, H) — robust for clustered
+        or defective eigenvalues."""
+        if scheme == "multiple":
+            refine_pep_multiple(self, steps)
+        else:
+            refine_pep(self, steps)
         return self
 
     def _solve_jd(self):
@@ -602,14 +608,108 @@ def refine_pep(pep, steps: int = 3) -> None:
         return sum(lam**i * np.asarray(m.to_dense())
                    for i, m in enumerate(pep.mats))
 
-    for i in range(pep.nconv):
+    # per-eigenpair refinements are independent: thread-pool parallel
+    # (the reference's refinement subcommunicators, peprefine.c npart)
+    from ..parallel.tasks import thread_map
+
+    def refine_one(i):
         lam, x = pep.eigenvalues[i], pep._eigenvectors[:, i]
-        lam2, x2 = _bordered_newton_refine(apply_T, apply_Tp, lam, x,
-                                           steps=steps, solve_dense=dense_T)
-        pep.eigenvalues = pep.eigenvalues.astype(complex)
+        return _bordered_newton_refine(apply_T, apply_Tp, lam, x,
+                                       steps=steps, solve_dense=dense_T)
+
+    results = thread_map(refine_one, range(pep.nconv))
+    pep.eigenvalues = pep.eigenvalues.astype(complex)
+    if not np.iscomplexobj(pep._eigenvectors):
+        pep._eigenvectors = pep._eigenvectors.astype(complex)
+    for i, (lam2, x2) in enumerate(results):
         pep.eigenvalues[i] = lam2
-        if np.iscomplexobj(pep._eigenvectors):
-            pep._eigenvectors[:, i] = x2
-        else:
-            pep._eigenvectors = pep._eigenvectors.astype(complex)
-            pep._eigenvectors[:, i] = x2
+        pep._eigenvectors[:, i] = x2
+
+
+def refine_pep_multiple(pep, steps: int = 2) -> None:
+    """Invariant-pair Newton refinement (reference: PEPSetRefine with
+    PEP_REFINE_MULTIPLE, peprefine.c — Betcke/Kressner invariant-pair
+    correction): refine ALL converged pairs jointly as (X, H) with
+    residual R(X,H) = sum_i A_i X H^i and normalization W^H dX = 0.
+    Unlike the 'simple' per-pair scheme this handles clustered and
+    defective eigenvalues (the Jacobian stays nonsingular when single
+    pairs are ill-defined).
+
+    Dense Kronecker formulation sized for moderate n*k (the projected
+    regime where refinement is used); the correction solves the
+    (nk + k^2) linear system built from sum_i (H^i)^T kron A_i and the
+    dH-coupling columns."""
+    k = pep.nconv
+    n = pep.n
+    if k == 0 or n * k > 6000:
+        return
+    d = pep.degree
+    Amats = [np.asarray(m.to_dense()).astype(complex) for m in pep.mats]
+    X = np.asarray(pep._eigenvectors[:, :k]).astype(complex)
+    H = np.diag(pep.eigenvalues[:k].astype(complex))
+    W = X.copy()  # normalization basis (minimality: W^H X = I after scale)
+
+    def resid(X, H):
+        R = np.zeros((n, k), dtype=complex)
+        Hp = np.eye(k, dtype=complex)
+        for i in range(d + 1):
+            R += Amats[i] @ X @ Hp
+            Hp = Hp @ H
+        return R
+
+    for _ in range(steps):
+        R = resid(X, H)
+        if np.linalg.norm(R) < 1e-15 * max(np.linalg.norm(X), 1.0):
+            break
+        # Jacobian blocks
+        Hpows = [np.eye(k, dtype=complex)]
+        for i in range(d):
+            Hpows.append(Hpows[-1] @ H)
+        # M_XX = sum_i (H^i)^T kron A_i   (acts on vec(dX), column-major)
+        MXX = np.zeros((n * k, n * k), dtype=complex)
+        for i in range(d + 1):
+            MXX += np.kron(Hpows[i].T, Amats[i])
+        # M_XH: columns indexed by dH entries E_pq
+        AX = [Amats[i] @ X for i in range(d + 1)]
+        MXH = np.zeros((n * k, k * k), dtype=complex)
+        for p in range(k):
+            for q in range(k):
+                E = np.zeros((k, k), dtype=complex)
+                E[p, q] = 1.0
+                col = np.zeros((n, k), dtype=complex)
+                for i in range(1, d + 1):
+                    D = np.zeros((k, k), dtype=complex)
+                    for j in range(i):
+                        D += Hpows[j] @ E @ Hpows[i - 1 - j]
+                    col += AX[i] @ D
+                MXH[:, p + q * k] = col.reshape(-1, order="F")
+        # normalization rows: W^H dX = 0  (k^2 equations)
+        CW = np.kron(np.eye(k, dtype=complex), W.conj().T)  # (k^2, nk)
+        Mfull = np.block([[MXX, MXH],
+                          [CW, np.zeros((k * k, k * k), dtype=complex)]])
+        rhs = np.concatenate([-R.reshape(-1, order="F"),
+                              np.zeros(k * k, dtype=complex)])
+        try:
+            sol = np.linalg.solve(Mfull, rhs)
+        except np.linalg.LinAlgError:
+            sol, *_ = np.linalg.lstsq(Mfull, rhs, rcond=None)
+        X = X + sol[: n * k].reshape(n, k, order="F")
+        H = H + sol[n * k:].reshape(k, k, order="F")
+
+    # extract refined eigenpairs from the pair (X, H)
+    wv, Y = np.linalg.eig(H)
+    Xr = X @ Y
+    nrm = np.linalg.norm(Xr, axis=0)
+    nrm[nrm == 0] = 1
+    Xr = Xr / nrm
+    # keep the locked ordering: match each old eigenvalue to a new one
+    used = np.zeros(k, bool)
+    pep.eigenvalues = pep.eigenvalues.astype(complex)
+    if not np.iscomplexobj(pep._eigenvectors):
+        pep._eigenvectors = pep._eigenvectors.astype(complex)
+    for i in range(k):
+        dmatch = np.abs(wv - pep.eigenvalues[i]) + np.where(used, np.inf, 0)
+        j = int(np.argmin(dmatch))
+        used[j] = True
+        pep.eigenvalues[i] = wv[j]
+        pep._eigenvectors[:, i] = Xr[:, j]

@@ -207,3 +207,57 @@ def test_svd_gsvd_jbd_smallest_and_conditioning():
     svd2.solve()
     assert svd2.nconv >= 2
     np.testing.assert_allclose(np.sort(svd2.sigma[:2]), sref2[:2], rtol=1e-5)
+
+
+def test_pep_refine_multiple():
+    """Invariant-pair ('multiple') refinement handles a clustered pair
+    that per-pair Newton cannot separate (reference PEP_REFINE_MULTIPLE)."""
+    n = 30
+    rng = np.random.default_rng(1)
+    K = np.diag(np.full(n, 2.0)) + np.diag(np.full(n - 1, -1.0), 1) \
+        + np.diag(np.full(n - 1, -1.0), -1)
+    C = 0.3 * np.eye(n)
+    M = np.eye(n)
+    pep = st.PEP([st.DenseOperator(K), st.DenseOperator(C),
+                  st.DenseOperator(M)], nev=4, solver="toar")
+    pep.set_target(-0.15 + 1.0j)
+    pep.solve()
+    assert pep.nconv >= 4
+    # perturb the converged pairs, then recover with multiple refinement
+    pep.eigenvalues = pep.eigenvalues.astype(complex)
+    pep._eigenvectors = pep._eigenvectors.astype(complex)
+    lam_good = pep.eigenvalues[:4].copy()
+    pep.eigenvalues[:4] *= (1 + 1e-5)
+    pep._eigenvectors[:, :4] += 1e-5 * (
+        rng.standard_normal((n, 4)) + 1j * rng.standard_normal((n, 4)))
+    pep.refine(steps=3, scheme="multiple")
+    for i in range(4):
+        lam, x = pep.get_eigenpair(i)
+        r = (K + lam * C + lam ** 2 * M) @ x
+        assert np.linalg.norm(r) / np.linalg.norm(x) < 1e-10
+    for lam in lam_good:
+        assert np.min(np.abs(pep.eigenvalues[:4] - lam)) < 1e-8 * abs(lam)
+
+
+def test_nep_effenberger_deflation_multiple():
+    """Effenberger invariant-pair deflation finds a DOUBLE eigenvalue's
+    full eigenspace, where orthogonal-projection deflation cannot
+    re-approach the same eigenvalue (reference: nepdefl.c)."""
+    # T(lam) = A - lam I with A having a double eigenvalue 2.0
+    n = 20
+    rng = np.random.default_rng(0)
+    D = np.diag(np.concatenate([[2.0, 2.0], 4.0 + np.arange(n - 2.0)]))
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    Ad = Q @ D @ Q.T
+    mats = [st.DenseOperator(Ad), st.DenseOperator(np.eye(n))]
+    fns = [st.FNRational([1.0]), st.FNRational([-1.0, 0.0])]
+    nep = st.NEP(nev=2, solver="slp", target=1.8, tol=1e-10, max_it=60)
+    nep.set_split_operators(mats, fns)
+    nep.solve()
+    assert nep.nconv >= 2
+    lams = nep.eigenvalues[:2]
+    np.testing.assert_allclose(sorted(lams.real), [2.0, 2.0], atol=1e-8)
+    X = nep._eigenvectors[:, :2]
+    # the two vectors span a 2-D eigenspace (not the same vector twice)
+    s = np.linalg.svd(X, compute_uv=False)
+    assert s[1] > 1e-3
