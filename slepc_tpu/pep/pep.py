@@ -80,6 +80,12 @@ class PEP:
             self.max_it = max_it
         return self
 
+    def set_interval(self, a: float, b: float):
+        """All eigenvalues of a hyperbolic symmetric QEP in [a, b]
+        (reference: PEPSetInterval + the STOAR QSlice variant)."""
+        self.interval = (float(a), float(b))
+        return self
+
     @property
     def degree(self) -> int:
         return len(self.mats) - 1
@@ -158,6 +164,13 @@ class PEP:
 
     def solve(self):
         self._basis_to_monomial()
+        if getattr(self, "interval", None) is not None:
+            if self.tol is None:
+                self.tol = 1e-8
+            from .qslice import qslice_solve
+
+            qslice_solve(self)
+            return self
         if self.solver == "linear":
             self._solve_linear()
         elif self.solver in ("toar", "qarnoldi"):

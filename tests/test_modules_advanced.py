@@ -261,3 +261,28 @@ def test_nep_effenberger_deflation_multiple():
     # the two vectors span a 2-D eigenspace (not the same vector twice)
     s = np.linalg.svd(X, compute_uv=False)
     assert s[1] > 1e-3
+
+
+def test_pep_qslice_interval():
+    """QSlice: all eigenvalues of a hyperbolic QEP in an interval, with
+    inertia certificates on P(sigma) (reference: stoar/qslice.c)."""
+    n = 40
+    # hyperbolic QEP: M=I, K SPD, C large SPD (overdamped => hyperbolic)
+    rng = np.random.default_rng(0)
+    K = np.diag(np.full(n, 2.0)) + np.diag(np.full(n - 1, -1.0), 1) \
+        + np.diag(np.full(n - 1, -1.0), -1)
+    C = np.diag(5.0 + rng.random(n))
+    M = np.eye(n)
+    # reference eigenvalues from the dense linearization
+    Abig = np.block([[np.zeros((n, n)), np.eye(n)], [-K, -C]])
+    w = np.linalg.eigvals(Abig)
+    assert np.abs(w.imag).max() < 1e-10  # hyperbolic: all real
+    wr = np.sort(w.real)
+    a, b = -0.9, -0.3
+    inside = wr[(wr > a) & (wr < b)]
+    pep = st.PEP([st.DenseOperator(K), st.DenseOperator(C),
+                  st.DenseOperator(M)], solver="stoar", tol=1e-9)
+    pep.set_interval(a, b)
+    pep.solve()
+    assert pep.nconv == len(inside)
+    np.testing.assert_allclose(np.sort(pep.eigenvalues), inside, rtol=1e-7)
