@@ -42,26 +42,30 @@ def main():
     ITERS = 50
 
     # measure the chained-SpMV path the solver loops actually run: the
-    # operator stays in the padded layout, back-to-back kernel calls with
-    # no pad/unpad or normalization passes in between (spectral radius is
-    # pre-scaled below 1 so the pure chain cannot overflow in 50 steps)
+    # operator stays in the padded layout with a normalize step between
+    # applications (exactly the power-iteration inner structure; NOTE a
+    # bare back-to-back pallas chain measures ~2x SLOWER than the
+    # normalized chain — interleaved elementwise work lets the scheduler
+    # overlap the kernel pipeline)
     if A.dp is not None:
         from slepc_tpu.ops.dia_pallas import DIAPaddedOperator
 
-        As = type(A)(A.offsets, A.diags * np.float32(1.0 / 8.0))
-        op_b = DIAPaddedOperator.from_dia(As)
-        x = op_b.pad(jnp.ones((n,), dtype=dtype)).reshape(-1)
-        mult = op_b.mult
+        op_b = DIAPaddedOperator.from_dia(A)
+        x = op_b.pad2d(jnp.ones((n,), dtype=dtype))  # 2-D: no relayout
+        mult = op_b.mult2d
         out["spmv_kernel"] = "pallas-padded"
     else:
         op_b = A
         x = jnp.ones((n,), dtype=dtype)
-        mult = lambda v: A.mult(v) / 8.0
+        mult = A.mult
         out["spmv_kernel"] = "xla-roll"
 
     @jax.jit
     def spmv_loop(x):
-        return jax.lax.fori_loop(0, ITERS, lambda i, v: mult(v), x)
+        def body(i, v):
+            y = mult(v)
+            return y / jnp.linalg.norm(y)
+        return jax.lax.fori_loop(0, ITERS, body, x)
 
     _log("compiling spmv loop...")
     y = spmv_loop(x)
@@ -79,9 +83,32 @@ def main():
     out["spmv_nnz"] = nnz
     out["spmv_time_per_iter_ms"] = dt * 1e3
 
+    # calibrate ACHIEVABLE bandwidth in this time window (the shared
+    # TPU's throughput varies ~2x with neighbor load, so the roofline
+    # must be measured in-process): an axpy loop streams 2 passes/iter
+    _log("calibrating achievable HBM bandwidth...")
+    big = jnp.ones((4096, 4096), dtype)  # 64 MB
+
+    @jax.jit
+    def axpy_loop(v):
+        return jax.lax.fori_loop(
+            0, 20, lambda i, a: a * np.float32(0.9999) + np.float32(1e-6), v)
+
+    jax.block_until_ready(axpy_loop(big))
+    tbw = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(axpy_loop(big))
+        tbw = min(tbw, time.perf_counter() - t0)
+    # diagnostic only: the axpy loop itself reads unreliably through the
+    # relay (it measured BELOW the SpMV's own effective bandwidth), so
+    # vs_baseline stays defined against the NOMINAL HBM speed of light
+    # for round-over-round comparability
+    out["hbm_bw_axpy_gb_s"] = 2.0 * 20 * big.size * 4 / tbw / 1e9
+
     # speed-of-light: bytes per nnz for the 5-diagonal stencil
     bytes_per_nnz = 4.0 + (4.0 + 4.0) / 5.0  # diag + amortized x,y
-    hbm_bw = 8.2e11  # ~820 GB/s (TPU v5e-class HBM)
+    hbm_bw = 8.2e11  # ~820 GB/s (TPU v5e-class HBM, nominal)
     sol_nnz_per_s = hbm_bw / bytes_per_nnz
     out["spmv_speed_of_light_nnz_per_s"] = sol_nnz_per_s
 
@@ -99,13 +126,14 @@ def main():
     ncv_b = 32
     if A.dp is not None:
         opb = DIAPaddedOperator.from_dia(A)
-        nb = opb.n_pad
+        v0b = np.asarray(opb.pad2d(jnp.ones((n,), dtype)))
+        v0b = v0b / np.linalg.norm(v0b)
     else:
         opb = A
-        nb = n
+        v0b = np.ones(n, dtype) / np.sqrt(n)
     _log("compiling ks cycle...")
-    Vb = jnp.zeros((ncv_b + 1, nb), dtype=dtype).at[0].set(
-        jnp.ones(nb, dtype) / np.sqrt(nb))
+    Vb = jnp.zeros((ncv_b + 1,) + v0b.shape, dtype=dtype).at[0].set(
+        jnp.asarray(v0b))
     Hb = jnp.zeros((ncv_b + 1, ncv_b), dtype=dtype)
     keyb = jax.random.PRNGKey(0)
     outb = ks_hep_cycle(opb, Vb, Hb, jnp.asarray(0), 1e-5, keyb,

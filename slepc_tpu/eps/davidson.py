@@ -61,15 +61,30 @@ class _Davidson(EPSSolver):
             m = Vj.shape[1]
             AV = A.mult(Vj)
             BV = B.mult(Vj) if B is not None else Vj
-            G = np.asarray(Vj.conj().T @ AV)
-            M = np.asarray(Vj.conj().T @ BV)
             import scipy.linalg as sla
 
-            if hermitian:
-                w, C = sla.eigh(0.5 * (G + G.conj().T), 0.5 * (M + M.conj().T))
-                w = w.astype(complex)
+            if eps.extraction == "harmonic" and eps.target is not None:
+                # harmonic Rayleigh-Ritz (reference: the Davidson
+                # EPS_HARMONIC route, dvdcalcpairs.c): with
+                # W = (A - tau B) V, solve W^H W c = xi W^H B V c;
+                # theta = tau + xi selects interior pairs reliably
+                tau = complex(eps.target)
+                Wv = AV - tau * BV
+                G1 = np.asarray(Wv.conj().T @ Wv)
+                M1 = np.asarray(Wv.conj().T @ BV)
+                xi, C = sla.eig(G1, M1)
+                fin = np.isfinite(xi)
+                xi, C = xi[fin], C[:, fin]
+                w = tau + xi
             else:
-                w, C = sla.eig(G, M)
+                G = np.asarray(Vj.conj().T @ AV)
+                M = np.asarray(Vj.conj().T @ BV)
+                if hermitian:
+                    w, C = sla.eigh(0.5 * (G + G.conj().T),
+                                    0.5 * (M + M.conj().T))
+                    w = w.astype(complex)
+                else:
+                    w, C = sla.eig(G, M)
             keys = sc.keys(w)
             order = np.argsort(keys, kind="stable")
             w, C = w[order], C[:, order]

@@ -56,9 +56,21 @@ def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
         theta   — (ncv,) Ritz values in wanted-first order
         errest  — (ncv,) residual-based error estimates (same order)
     """
-    _, n = V.shape
+    vshape = V.shape[1:]  # flat (n,) or padded 2-D (rows, W) — reshape at
+    # the pallas boundary costs a tiled relayout copy, so the fast path
+    # keeps vectors 2-D end to end and every op here is shape-generic
     rdtype = jnp.zeros((), V.dtype).real.dtype
     eps_mach = jnp.finfo(rdtype).eps
+    opmult = getattr(op, "mult2d", None) if len(vshape) == 2 else None
+    if opmult is None:
+        opmult = op.mult
+    opmask = getattr(op, "mask2d" if len(vshape) == 2 else "mask", None)
+
+    def vdots(V, w):  # (ncv+1,) of <V_k, w>
+        return jnp.einsum("k...,...->k", V.conj(), w)
+
+    def vcomb(c, V):  # sum_k c_k V_k
+        return jnp.einsum("k,k...->...", c, V)
 
     # ---- extension: j0 -> ncv (fused-reduction CGS2 per column;
     # reorth_period > 1 = periodic reorthogonalization (the reference's
@@ -69,7 +81,7 @@ def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
     def body(j, state):
         V, H = state
         v = V[j]
-        w = op.mult(v)
+        w = opmult(v)
         mask = (jnp.arange(ncv + 1) < j + 1).astype(rdtype)
 
         def full_orth(w):
@@ -78,24 +90,24 @@ def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
             # branch blocks XLA pipelining (33 vs 17.5 ms/col at 8.4M
             # rows) even though it halves average bandwidth; branch-free
             # wins on this hardware (set passes=1 for CGS1)
-            c = (V.conj() @ w) * mask
-            w = w - c @ V
+            c = vdots(V, w) * mask
+            w = w - vcomb(c, V)
             c_tot = c
             for _ in range(passes - 1):
-                c2 = (V.conj() @ w) * mask
-                w = w - c2 @ V
+                c2 = vdots(V, w) * mask
+                w = w - vcomb(c2, V)
                 c_tot = c_tot + c2
             return w, c_tot
 
         if reorth_period > 1:
             def local_orth(w):
                 j0loc = jnp.maximum(j - 1, 0)
-                Vloc = jax.lax.dynamic_slice(V, (j0loc, 0), (2, V.shape[1]))
+                Vloc = jax.lax.dynamic_slice_in_dim(V, j0loc, 2, axis=0)
                 locmask = ((jnp.arange(2) + j0loc) < j + 1).astype(rdtype)
-                cl = (Vloc.conj() @ w) * locmask
-                w = w - cl @ Vloc
-                cl2 = (Vloc.conj() @ w) * locmask
-                w = w - cl2 @ Vloc
+                cl = jnp.einsum("k...,...->k", Vloc.conj(), w) * locmask
+                w = w - jnp.einsum("k,k...->...", cl, Vloc)
+                cl2 = jnp.einsum("k...,...->k", Vloc.conj(), w) * locmask
+                w = w - jnp.einsum("k,k...->...", cl2, Vloc)
                 c_tot = jnp.zeros(ncv + 1, dtype=V.dtype)
                 c_tot = jax.lax.dynamic_update_slice(c_tot, cl + cl2, (j0loc,))
                 return w, c_tot
@@ -113,13 +125,12 @@ def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
         is_brk = beta < eps_mach ** 0.75 * (jnp.linalg.norm(c_tot) + eps_mach)
 
         def mk_restart(_):
-            rnd = jax.random.normal(jax.random.fold_in(key, j), (n,),
+            rnd = jax.random.normal(jax.random.fold_in(key, j), vshape,
                                     rdtype).astype(V.dtype)
-            opmask = getattr(op, "mask", None)
             if opmask is not None:
                 rnd = rnd * opmask  # padded layouts: keep halo zero
-            rnd = rnd - ((V.conj() @ rnd) * mask) @ V
-            rnd = rnd - ((V.conj() @ rnd) * mask) @ V
+            rnd = rnd - vcomb(vdots(V, rnd) * mask, V)
+            rnd = rnd - vcomb(vdots(V, rnd) * mask, V)
             return rnd, jnp.linalg.norm(rnd)
 
         w, beta_eff = jax.lax.cond(is_brk, mk_restart,
@@ -146,17 +157,17 @@ def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
     def body_partial(j, state):
         V, H, om_prev, om_cur, force = state
         v = V[j]
-        w = op.mult(v)
+        w = opmult(v)
         mask = (jnp.arange(ncv + 1) < j + 1).astype(rdtype)
 
         # local orth against v_{j-1}, v_j (always; CGS x2 on 2 columns)
         j0loc = jnp.maximum(j - 1, 0)
-        Vloc = jax.lax.dynamic_slice(V, (j0loc, 0), (2, V.shape[1]))
+        Vloc = jax.lax.dynamic_slice_in_dim(V, j0loc, 2, axis=0)
         locmask = ((jnp.arange(2) + j0loc) < j + 1).astype(rdtype)
-        cl = (Vloc.conj() @ w) * locmask
-        w = w - cl @ Vloc
-        cl2 = (Vloc.conj() @ w) * locmask
-        w = w - cl2 @ Vloc
+        cl = jnp.einsum("k...,...->k", Vloc.conj(), w) * locmask
+        w = w - jnp.einsum("k,k...->...", cl, Vloc)
+        cl2 = jnp.einsum("k...,...->k", Vloc.conj(), w) * locmask
+        w = w - jnp.einsum("k,k...->...", cl2, Vloc)
         c_tot = jnp.zeros(ncv + 1, dtype=V.dtype)
         c_tot = jax.lax.dynamic_update_slice(c_tot, cl + cl2, (j0loc,))
         beta_loc = jnp.linalg.norm(w)
@@ -194,10 +205,10 @@ def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
         need_full = jnp.logical_or(jnp.logical_or(tripped, force), j == j0)
 
         def do_full(w):
-            c = (V.conj() @ w) * mask
-            w1 = w - c @ V
-            c2 = (V.conj() @ w1) * mask
-            return w1 - c2 @ V, c + c2
+            c = vdots(V, w) * mask
+            w1 = w - vcomb(c, V)
+            c2 = vdots(V, w1) * mask
+            return w1 - vcomb(c2, V), c + c2
 
         w, c_extra = jax.lax.cond(
             need_full, do_full,
@@ -215,13 +226,12 @@ def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
         is_brk = beta < eps_mach ** 0.75 * (jnp.linalg.norm(c_tot) + eps_mach)
 
         def mk_restart(_):
-            rnd = jax.random.normal(jax.random.fold_in(key, j), (n,),
+            rnd = jax.random.normal(jax.random.fold_in(key, j), vshape,
                                     rdtype).astype(V.dtype)
-            opmask = getattr(op, "mask", None)
             if opmask is not None:
                 rnd = rnd * opmask
-            rnd = rnd - ((V.conj() @ rnd) * mask) @ V
-            rnd = rnd - ((V.conj() @ rnd) * mask) @ V
+            rnd = rnd - vcomb(vdots(V, rnd) * mask, V)
+            rnd = rnd - vcomb(vdots(V, rnd) * mask, V)
             return rnd, jnp.linalg.norm(rnd)
 
         w, beta_eff = jax.lax.cond(is_brk, mk_restart,
@@ -278,10 +288,10 @@ def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
 
     # ---- rotate and rebuild (BVMultInPlace + DSTruncate analog) ----
     # transposed layout: new rows = Q^T @ old rows (== columns V Q)
-    Vrot = Q.astype(V.dtype).T @ V[:ncv]
+    Vrot = jnp.einsum("kp,k...->p...", Q.astype(V.dtype), V[:ncv])
     V = V.at[:ncv].set(Vrot)
     vres = V[ncv]
-    V = jax.lax.dynamic_update_slice(V, vres[None, :], (kl, 0))
+    V = jax.lax.dynamic_update_index_in_dim(V, vres, kl, axis=0)
     keep = (jnp.arange(ncv) < kl).astype(H.dtype)
     Hnew = jnp.zeros_like(H)
     Hnew = Hnew.at[jnp.arange(ncv), jnp.arange(ncv)].set(
@@ -321,19 +331,23 @@ def ks_hep_solve(eps, op, which: str, Bip=None) -> bool:
         v0 = np.asarray(eps.initial_space[:, 0])
     v0 = v0 / np.linalg.norm(v0)
     if padded is not None:
+        # 2-D padded layout end to end (see the reshape note in
+        # ks_hep_cycle): V is (ncv+1, rows, W)
         rng0 = np.random.default_rng(0)
         base = rng0.standard_normal(eps.n)
         if eps.initial_space is not None:
             base = np.asarray(eps.initial_space[:, 0])
-        v0j = padded.pad(jnp.asarray(base, dtype=dtype))
+        v0j = padded.pad2d(jnp.asarray(base, dtype=dtype))
         v0 = np.asarray(v0j)
         v0 = v0 / np.linalg.norm(v0)
+        V = jnp.zeros((ncv + 1,) + v0.shape, dtype=dtype)
+        V = V.at[0].set(jnp.asarray(v0, dtype=dtype))
+    else:
+        from ..sys.mesh import device_put_basis_t
 
-    from ..sys.mesh import device_put_basis_t
-
-    V = jnp.zeros((ncv + 1, n), dtype=dtype)
-    V = V.at[0].set(jnp.asarray(v0, dtype=dtype))
-    V = device_put_basis_t(V)
+        V = jnp.zeros((ncv + 1, n), dtype=dtype)
+        V = V.at[0].set(jnp.asarray(v0, dtype=dtype))
+        V = device_put_basis_t(V)
     H = jnp.zeros((ncv + 1, ncv), dtype=dtype)
     key = jax.random.PRNGKey(12345)
 
@@ -371,7 +385,10 @@ def ks_hep_solve(eps, op, which: str, Bip=None) -> bool:
     st = eps.st
     lam = st.back_transform(theta[:k2].astype(complex))
     if padded is not None and k2 > 0:
-        cols = [np.asarray(padded.unpad(V[i])) for i in range(k2)]
+        from ..ops.dia_pallas import unpad_vec
+
+        cols = [np.asarray(unpad_vec(V[i], eps.n, padded.block_rows))
+                for i in range(k2)]
         X = np.stack(cols, axis=1)
         nrmX = np.linalg.norm(X, axis=0)
         nrmX[nrmX == 0] = 1

@@ -260,3 +260,23 @@ def test_spectrum_slicing_partitions():
     assert eps.nconv == len(inside)
     np.testing.assert_allclose(np.sort(eps.eigenvalues.real), inside,
                                rtol=1e-7)
+
+
+def test_gd_harmonic_target():
+    """GD with harmonic extraction on an interior target (reference:
+    test30 — diag(1..n), target 4.8, -eps_harmonic with a Davidson
+    solver; expected pairs 5, 4, 6, 3)."""
+    n = 100
+    Ad = np.diag(np.arange(1.0, n + 1))
+    eps = st.EPS(st.DenseOperator(Ad), problem_type="hep", solver="gd",
+                 nev=4, ncv=20, max_it=600, tol=1e-9)
+    eps.set_target(4.8)
+    eps.set_st(st.STPrecond([st.DenseOperator(Ad)], sigma=4.8))
+    eps.set_which(Which.TARGET_MAGNITUDE)
+    eps.set_extraction("harmonic")
+    eps.solve()
+    assert eps.nconv >= 4
+    got = set(np.round(eps.eigenvalues[:4].real).astype(int))
+    assert {4, 5} <= got
+    for lam in eps.eigenvalues[:4].real:
+        assert abs(lam - round(lam)) < 1e-7
