@@ -185,15 +185,50 @@ def mgs_block(X, Bmult=None):
     return X, R
 
 
-def tsqr(X):
+def tsqr(X, mesh=None):
     """Tall-skinny QR via per-shard QR + combine.
 
     The communication-optimal analog of the reference's TSQR with the
-    packed-Givens MPI reduction (bvlapack.c:347-560).  Single-device: one
-    local QR.  Multi-device: jnp.linalg.qr under GSPMD; a shard_map
-    two-stage (local QR, QR of stacked R) is a planned optimization.
+    packed-Givens MPI reduction (bvlapack.c:347-560).  Single device (or
+    no mesh): one local QR.  On a row mesh: the true two-stage TSQR as a
+    shard_map — local QR per shard, all-gather of the P small R factors
+    (the ONLY communication: P*m*m elements), replicated QR of the
+    stacked R, and a local (m x m) GEMM to assemble Q.
     """
-    Q, R = jnp.linalg.qr(X, mode="reduced")
+    if mesh is None:
+        from ..sys.mesh import get_mesh
+
+        mesh = get_mesh()
+    if mesh is None or X.shape[0] % mesh.devices.size != 0             or X.shape[0] // mesh.devices.size < X.shape[1]:
+        Q, R = jnp.linalg.qr(X, mode="reduced")
+        return Q, R
+    return tsqr_shard_map(X, mesh)
+
+
+def tsqr_shard_map(X, mesh):
+    """Two-stage TSQR over the 'rows' mesh axis (see tsqr)."""
+    import jax
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..sys.mesh import ROWS
+
+    m = X.shape[1]
+    nper = mesh.shape[ROWS]
+
+    def local(Xl):
+        Ql, Rl = jnp.linalg.qr(Xl, mode="reduced")     # (nl, m), (m, m)
+        Rall = jax.lax.all_gather(Rl, ROWS)            # (P, m, m)
+        Q2, R = jnp.linalg.qr(Rall.reshape(nper * m, m), mode="reduced")
+        i = jax.lax.axis_index(ROWS)
+        Q2i = jax.lax.dynamic_slice_in_dim(Q2, i * m, m, axis=0)
+        return Ql @ Q2i, R
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=P(ROWS, None),
+                   out_specs=(P(ROWS, None), P(None, None)),
+                   check_rep=False)
+    Q, R = fn(X)
     return Q, R
 
 

@@ -182,6 +182,22 @@ class KrylovSchur(EPSSolver):
                 theta, Q = DSGHIEP().solve(0.5 * (S + S.conj().T) * 1.0, om_act)
                 theta = theta.astype(complex)
                 Tproj = None
+                if np.iscomplexobj(Q) and np.abs(Q.imag).max() > 1e-10 * max(
+                        np.abs(Q.real).max(), 1e-300):
+                    # the indefinite pencil has COMPLEX conjugate pairs in
+                    # this projection — legitimate for GHIEP, but the
+                    # pseudo-Lanczos signature bookkeeping assumes real
+                    # spectrum.  Re-solve through the general (GNHEP)
+                    # machinery, as the reference sanctions (test18 runs
+                    # the same pencil with -eps_gen_non_hermitian and
+                    # expects identical output).
+                    eps.problem_type = ProblemType.GNHEP
+                    eps.st._op = None
+                    try:
+                        self.solve(eps)
+                    finally:
+                        eps.problem_type = ProblemType.GHIEP
+                    return
             else:
                 harmonic = eps.extraction == "harmonic"
                 hfac = 1.0

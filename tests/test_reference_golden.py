@@ -118,3 +118,31 @@ def test_reference_speaker107_pep():
     assert pep.nconv >= 4
     for i in range(4):
         assert pep.compute_error(i) < 1e-6
+
+
+def test_ghiep_reference_test18_digits():
+    """Reproduction of the reference's src/eps/tests/test18.c GHIEP:
+    A = 5-point Laplacian (10x10 grid, N=100), B = anti-identity
+    (B[i, N-1-i] = 1) — a symmetric-indefinite pencil solved with
+    sinvert Krylov-Schur (reference args: -eps_nev 4 -eps_ncv 12).
+    Published values (src/eps/tests/output/test18_1.out): 0.16203,
+    -0.39851, -0.39851, 0.63499 — including BOTH copies of the double
+    eigenvalue (ncv=20 here; recovering the second copy of a multiple
+    eigenvalue at the reference's ncv=12 depends on restart noise)."""
+    m = 10
+    N = m * m
+    A = st.laplacian_2d(m, m, scaled=False) if hasattr(
+        st.mat.generators, "laplacian_2d_kw") else st.laplacian_2d(m, m)
+    Ad = np.asarray(A.to_dense())
+    # test18 builds the unscaled 5-point stencil (diag 4, offdiag -1)
+    if not np.isclose(Ad[0, 0], 4.0):
+        Ad = Ad * (4.0 / Ad[0, 0])
+    Bd = np.fliplr(np.eye(N))
+    eps = st.EPS(st.DenseOperator(Ad), st.DenseOperator(Bd),
+                 problem_type="ghiep", nev=4, ncv=20)
+    eps.set_target(0.0)
+    eps.solve()
+    assert eps.nconv >= 4
+    got = np.sort(np.round(eps.eigenvalues[:4].real, 5))
+    want = np.sort([0.16203, -0.39851, -0.39851, 0.63499])
+    np.testing.assert_allclose(got, want, atol=1.1e-5)
