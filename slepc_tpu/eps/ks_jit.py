@@ -314,8 +314,24 @@ def ks_hep_solve(eps, op, which: str, Bip=None) -> bool:
     dtype = np.dtype(eps.A.dtype)
     padded = None
     from ..mat.linop import DIAOperator
+    from ..sys.mesh import ROWS, get_mesh
 
-    if isinstance(op, DIAOperator) and op.dp is not None:
+    mesh = get_mesh()
+    if (isinstance(op, DIAOperator) and mesh is not None
+            and mesh.shape.get(ROWS, 1) > 1
+            and (jax.default_backend() != "tpu"
+                 or dtype == np.dtype(np.float32))):
+        # multi-device: the Pallas padded kernel under shard_map with
+        # ppermute boundary-row halo (parallel/halo_pallas.py)
+        from ..parallel.halo_pallas import ShardedDIAPaddedOperator
+
+        try:
+            padded = ShardedDIAPaddedOperator.from_dia(op, mesh)
+            op = padded
+            n = padded.n_pad
+        except ValueError:
+            padded = None
+    if padded is None and isinstance(op, DIAOperator) and op.dp is not None:
         from ..ops.dia_pallas import DIAPaddedOperator
 
         padded = DIAPaddedOperator.from_dia(op)

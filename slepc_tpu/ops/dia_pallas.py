@@ -33,6 +33,16 @@ from jax.tree_util import register_pytree_node_class
 W = 512  # lane width of the 2-D view
 
 
+def _interp() -> bool:
+    """Run pallas in interpreter mode off-TPU (CPU mesh tests execute the
+    same kernel path as jax ops; evaluated at trace time, so each backend
+    gets its own compiled variant)."""
+    try:
+        return jax.default_backend() != "tpu"
+    except Exception:
+        return True
+
+
 def _dia_kernel(offsets: Tuple[int, ...], Rb: int,
                 xm_ref, xc_ref, xp_ref, d_ref, y_ref):
     x3 = jnp.concatenate([xm_ref[:], xc_ref[:], xp_ref[:]], axis=0)  # (3Rb, W)
@@ -104,6 +114,7 @@ def dia_spmv_prepared(offsets: Tuple[int, ...], dp, x, n: int,
             bytes_accessed=(dp.size + 4 * n) * x.dtype.itemsize,
             transcendentals=0,
         ),
+        interpret=_interp(),
     )(xp, xp, xp, dp)
     return y.reshape(npad)[:n]
 
@@ -200,6 +211,7 @@ def dia_spmv_padded(offsets: Tuple[int, ...], dp, xp, n: int,
             bytes_accessed=(dp.size + 3 * n) * xp.dtype.itemsize,
             transcendentals=0,
         ),
+        interpret=_interp(),
     )(xp, xp, xp, dp)
     return y
 
@@ -281,6 +293,7 @@ def dia_spmv_prepared_v3(offsets: Tuple[int, ...], dp, x, n: int,
             bytes_accessed=(dp.size + 2 * n) * x.dtype.itemsize,
             transcendentals=0,
         ),
+        interpret=_interp(),
     )(xp, xp, xp, dp)
     return y.reshape(npad)[:n]
 
@@ -357,6 +370,7 @@ def dia_spmv_padded_v3(offsets: Tuple[int, ...], dp, xp, n: int,
             bytes_accessed=(dp.size + 2 * n) * xp.dtype.itemsize,
             transcendentals=0,
         ),
+        interpret=_interp(),
     )(xp, xp, xp, dp)
     return y
 
