@@ -302,6 +302,142 @@ def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
     return V, Hnew, kl, k2, theta, errest, beta
 
 
+@partial(jax.jit, static_argnames=("ncv", "b", "which"))
+def ks_hep_cycle_blocked(op, V, H, jb0, tol, key, ncv: int, b: int,
+                         which: str = "smallest"):
+    """One BLOCK Krylov-Schur(HEP) restart cycle — the bandwidth-lean path.
+
+    Thick-restart block Lanczos with block size b: per block step the basis
+    is read FOUR times total for all b new columns (BCGS2 = two
+    project+update GEMM pairs) instead of four times per column — the
+    s-step/blocked reduction the BASELINE "orth+restart <= 20%" target
+    demands (reference semantics: bvorthog.c:91 single-reduction CGS +
+    bvorthog.c:492 block SVQB, composed into one extension).
+
+    Intra-block orthonormalization is SVQB^2 (branch-free, truncation
+    robust): W = B X with B = S^{1/2} from the eigh of the Gram matrix,
+    so the projected matrix stays exact.
+
+    Layout: V (ncv+b, ...) transposed basis, ncv % b == 0; H (ncv+b, ncv)
+    holds the full projected matrix plus the trailing block-coupling rows.
+    jb0: traced block index — extension starts at rows [jb0*b, jb0*b+b)
+    which must hold an orthonormal block (the restart residual block).
+
+    Returns (V, H, jb_new, k2, theta, errest, beta).
+    """
+    assert ncv % b == 0
+    nb = ncv // b
+    vshape = V.shape[1:]
+    rdtype = jnp.zeros((), V.dtype).real.dtype
+    eps_mach = jnp.finfo(rdtype).eps
+    opmult = getattr(op, "mult2d", None) if len(vshape) == 2 else None
+    if opmult is None:
+        opmult = op.mult
+    opmask = getattr(op, "mask2d" if len(vshape) == 2 else "mask", None)
+
+    def vdots_blk(V, Wb, mask):  # (ncv+b, b) of <V_k, W_i>
+        C = jnp.einsum("k...,m...->km", V.conj(), Wb)
+        return C * mask[:, None]
+
+    def vcomb_blk(C, V):  # (b, ...) rows sum_k C[k,i] V_k
+        return jnp.einsum("km,k...->m...", C, V)
+
+    def svqb(Wb):
+        """Orthonormalize the block rows; returns (X, Bmat) with
+        Wb = Bmat @ X and X row-orthonormal (clamped SVQB)."""
+        S = jnp.einsum("i...,j...->ij", Wb.conj(), Wb)
+        S = 0.5 * (S + S.conj().T)
+        lam, U = jnp.linalg.eigh(S)
+        lam_max = jnp.maximum(lam[-1], eps_mach)
+        lam_c = jnp.maximum(lam, eps_mach ** 2 * lam_max)
+        inv_half = (U * (lam_c ** -0.5)[None, :]) @ U.conj().T
+        half = (U * (lam_c ** 0.5)[None, :]) @ U.conj().T
+        X = jnp.einsum("ij,j...->i...", inv_half.astype(Wb.dtype), Wb)
+        return X, half.astype(Wb.dtype)
+
+    def body(p, state):
+        V, H, key = state
+        X = jax.lax.dynamic_slice_in_dim(V, p * b, b, axis=0)
+        Wb = jnp.stack([opmult(X[i]) for i in range(b)])
+        mask = (jnp.arange(ncv + b) < (p + 1) * b).astype(rdtype)
+        # BCGS2: two project+update rounds over the whole active basis
+        C1 = vdots_blk(V, Wb, mask)
+        Wb = Wb - vcomb_blk(C1, V)
+        C2 = vdots_blk(V, Wb, mask)
+        Wb = Wb - vcomb_blk(C2, V)
+        C = C1 + C2
+        # soft breakdown: near-rank-deficient block -> mix in fresh
+        # random directions, re-orthogonalize, re-factor (rare; behind a
+        # cond so the common path stays 4 basis passes per block)
+        S = jnp.einsum("i...,j...->ij", Wb.conj(), Wb)
+        lam_min = jnp.linalg.eigvalsh(0.5 * (S + S.conj().T))[0]
+        scale = jnp.maximum(jnp.linalg.norm(C), 1.0)
+        is_brk = lam_min.real < (eps_mach * scale) ** 2
+
+        def refresh(args):
+            Wb, key = args
+            key, sub = jax.random.split(key)
+            rnd = jax.random.normal(sub, (b,) + vshape, rdtype).astype(V.dtype)
+            if opmask is not None:
+                rnd = rnd * opmask
+            Wb = Wb + eps_mach ** 0.5 * scale * rnd
+            Wb = Wb - vcomb_blk(vdots_blk(V, Wb, mask), V)
+            Wb = Wb - vcomb_blk(vdots_blk(V, Wb, mask), V)
+            return Wb, key
+
+        Wb, key = jax.lax.cond(is_brk, refresh, lambda a: a, (Wb, key))
+        X1, Bm = svqb(Wb)
+        X2, Bm2 = svqb(X1)  # SVQB^2: orthonormal to machine precision
+        Bmat = Bm @ Bm2
+        V = jax.lax.dynamic_update_slice_in_dim(V, X2, (p + 1) * b, axis=0)
+        # H block column: projection coeffs + sub-block coupling
+        col = jnp.zeros((ncv + b, b), dtype=H.dtype)
+        col = col + C * mask[:, None].astype(H.dtype)
+        col = jax.lax.dynamic_update_slice(col, Bmat, ((p + 1) * b, 0))
+        H = jax.lax.dynamic_update_slice(H, col, (0, p * b))
+        return V, H, key
+
+    V, H, key = jax.lax.fori_loop(jb0, nb, body, (V, H, key))
+
+    # ---- projected solve ----
+    S = H[:ncv, :ncv]
+    S = 0.5 * (S + S.conj().T)
+    theta, Q = jnp.linalg.eigh(S)
+    if which == "largest":
+        theta, Q = theta[::-1], Q[:, ::-1]
+    elif which == "largest_magnitude":
+        order = jnp.argsort(-jnp.abs(theta))
+        theta, Q = theta[order], Q[:, order]
+
+    # ---- convergence: residual = ||B_last @ q_lastblock|| ----
+    Blast = H[ncv: ncv + b, ncv - b: ncv]
+    Rq = Blast @ Q[ncv - b:, :]
+    resid = jnp.linalg.norm(Rq, axis=0)
+    errest = resid / jnp.maximum(jnp.abs(theta), 1e-300)
+    conv = errest < tol
+    k2 = jnp.sum(jnp.cumprod(conv.astype(jnp.int32)))
+
+    # ---- restart: keep kl rows, block aligned ----
+    l = jnp.maximum(1, (ncv - k2) // 2)
+    kl = k2 + l
+    kl = jnp.minimum((kl + b - 1) // b * b, ncv - b)
+    kl = jnp.maximum(kl, b)
+
+    Vrot = jnp.einsum("kp,k...->p...", Q.astype(V.dtype), V[:ncv])
+    V = V.at[:ncv].set(Vrot)
+    Xres = jax.lax.dynamic_slice_in_dim(V, ncv, b, axis=0)
+    V = jax.lax.dynamic_update_slice_in_dim(V, Xres, kl, axis=0)
+    keep = (jnp.arange(ncv) < kl).astype(H.dtype)
+    Hnew = jnp.zeros_like(H)
+    Hnew = Hnew.at[jnp.arange(ncv), jnp.arange(ncv)].set(
+        theta.astype(H.dtype) * keep)
+    arrow = (Blast @ Q[ncv - b:, :]).astype(H.dtype) * keep[None, :]
+    Hnew = jax.lax.dynamic_update_slice(Hnew, arrow, (kl, 0))
+
+    beta = jnp.linalg.norm(Blast)
+    return V, Hnew, kl // b, k2, theta, errest, beta
+
+
 def ks_hep_solve(eps, op, which: str, Bip=None) -> bool:
     """Host driver for the jitted cycle; fills the EPS result fields.
 
@@ -337,34 +473,76 @@ def ks_hep_solve(eps, op, which: str, Bip=None) -> bool:
         padded = DIAPaddedOperator.from_dia(op)
         op = padded
         n = padded.n_pad
-    if np.issubdtype(dtype, np.complexfloating):
-        pass  # complex Hermitian is fine
-    rng = np.random.default_rng(0)
-    v0 = rng.standard_normal(n)
-    if np.issubdtype(dtype, np.complexfloating):
-        v0 = v0 + 1j * rng.standard_normal(n)
-    if eps.initial_space is not None:
-        v0 = np.asarray(eps.initial_space[:, 0])
-    v0 = v0 / np.linalg.norm(v0)
-    if padded is not None:
-        # 2-D padded layout end to end (see the reshape note in
-        # ks_hep_cycle): V is (ncv+1, rows, W)
+    if (padded is None and isinstance(op, DIAOperator)
+            and dtype == np.dtype(np.float64)
+            and jax.default_backend() == "tpu"):
+        # f64 fast path: double-single (two-f32) Pallas kernel — remote
+        # f64 Mosaic compiles crash, compensated f32 reaches ~2e-15
+        from ..ops.dia_pallas import DIAPaddedOperatorDS, dia_spmv_supported
+
+        if dia_spmv_supported(op.offsets, op.shape[0], np.float32):
+            padded = DIAPaddedOperatorDS.from_dia(op)
+            op = padded
+            n = padded.n_pad
+    from ..mat.linop import AIJOperator
+
+    if (padded is None and isinstance(op, AIJOperator)
+            and (jax.default_backend() != "tpu"
+                 or dtype == np.dtype(np.float32))
+            and op.shape[0] >= 4096):
+        # general sparsity: hybrid diagonal/gather ELL Pallas kernel
+        # (ops/ell_pallas.py); packing cached on the operator
+        g = op.to_gell()
+        if g is not None:
+            padded = g
+            op = padded
+            n = padded.n_pad
+    bsize = int(getattr(eps, "block_size", 1) or 1)
+    if bsize > 1:
+        ncv = -(-ncv // bsize) * bsize  # block-aligned basis
+    nrow0 = bsize if bsize > 1 else 1
+
+    def _init_rows(nrows):
+        """nrows starting vectors: initial space columns then random,
+        orthonormalized on host (tiny QR)."""
         rng0 = np.random.default_rng(0)
-        base = rng0.standard_normal(eps.n)
+        cols = []
         if eps.initial_space is not None:
-            base = np.asarray(eps.initial_space[:, 0])
-        v0j = padded.pad2d(jnp.asarray(base, dtype=dtype))
-        v0 = np.asarray(v0j)
-        v0 = v0 / np.linalg.norm(v0)
-        V = jnp.zeros((ncv + 1,) + v0.shape, dtype=dtype)
-        V = V.at[0].set(jnp.asarray(v0, dtype=dtype))
+            for j in range(min(eps.initial_space.shape[1], nrows)):
+                cols.append(np.asarray(eps.initial_space[:, j]))
+        while len(cols) < nrows:
+            c = rng0.standard_normal(eps.n)
+            if np.issubdtype(dtype, np.complexfloating):
+                c = c + 1j * rng0.standard_normal(eps.n)
+            cols.append(c)
+        M = np.stack(cols, axis=1).astype(dtype)
+        if padded is not None:
+            M = np.stack([np.asarray(padded.pad(jnp.asarray(M[:, j])))
+                          for j in range(nrows)], axis=1)
+        Qm, _ = np.linalg.qr(M)
+        return Qm.T.astype(dtype)  # (nrows, n_flat)
+
+    rows0 = _init_rows(nrow0)
+    if padded is not None:
+        vshape = np.asarray(padded.pad2d(np.zeros(eps.n, dtype))).shape
+        V = jnp.zeros((ncv + nrow0,) + vshape, dtype=dtype)
+        for i in range(nrow0):
+            V = V.at[i].set(jnp.asarray(rows0[i].reshape(vshape)))
+        if hasattr(padded, "mesh"):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..sys.mesh import ROWS
+
+            V = jax.device_put(
+                V, NamedSharding(padded.mesh, P(None, ROWS, None)))
     else:
         from ..sys.mesh import device_put_basis_t
 
-        V = jnp.zeros((ncv + 1, n), dtype=dtype)
-        V = V.at[0].set(jnp.asarray(v0, dtype=dtype))
+        V = jnp.zeros((ncv + nrow0, n), dtype=dtype)
+        for i in range(nrow0):
+            V = V.at[i].set(jnp.asarray(rows0[i]))
         V = device_put_basis_t(V)
-    H = jnp.zeros((ncv + 1, ncv), dtype=dtype)
+    H = jnp.zeros((ncv + nrow0, ncv), dtype=dtype)
     key = jax.random.PRNGKey(12345)
 
     filtered = getattr(eps.st, "requires_rayleigh", False)
@@ -378,10 +556,15 @@ def ks_hep_solve(eps, op, which: str, Bip=None) -> bool:
         nnz_op = getattr(op, "nnz", 2 * n)
         with log_event("EPS_KSCycle_jit",
                        flops=ncv * (2.0 * nnz_op + 8.0 * n * ncv)):
-            V, H, j0, k2j, theta, errest, beta = ks_hep_cycle(
-                op, V, H, j0, eps.tol, key, ncv=ncv, which=which,
-                reorth_period=getattr(eps, "reorth_period", 1),
-                reorth=getattr(eps, "reorth", "full"))
+            if bsize > 1:
+                V, H, j0, k2j, theta, errest, beta = ks_hep_cycle_blocked(
+                    op, V, H, j0, eps.tol, key, ncv=ncv, b=bsize,
+                    which=which)
+            else:
+                V, H, j0, k2j, theta, errest, beta = ks_hep_cycle(
+                    op, V, H, j0, eps.tol, key, ncv=ncv, which=which,
+                    reorth_period=getattr(eps, "reorth_period", 1),
+                    reorth=getattr(eps, "reorth", "full"))
             k2 = int(k2j)
         if len(eps.monitor):
             eps.monitor(eps, eps.its, k2, np.asarray(theta), np.asarray(errest))
@@ -401,10 +584,7 @@ def ks_hep_solve(eps, op, which: str, Bip=None) -> bool:
     st = eps.st
     lam = st.back_transform(theta[:k2].astype(complex))
     if padded is not None and k2 > 0:
-        from ..ops.dia_pallas import unpad_vec
-
-        cols = [np.asarray(unpad_vec(V[i], eps.n, padded.block_rows))
-                for i in range(k2)]
+        cols = [np.asarray(padded.unpad(V[i])) for i in range(k2)]
         X = np.stack(cols, axis=1)
         nrmX = np.linalg.norm(X, axis=0)
         nrmX[nrmX == 0] = 1

@@ -300,6 +300,28 @@ class AIJOperator(LinearOperator):
         self._scipy = scipy_mat  # host CSR retained for direct factorization
         self.indices_t = None if indices_t is None else jnp.asarray(indices_t)
         self.data_t = None if data_t is None else jnp.asarray(data_t)
+        self._gell = None  # hybrid-ELL Pallas form, packed lazily
+
+    def to_gell(self, block_rows: int = 256):
+        """Hybrid diagonal/gather ELL Pallas form (ops/ell_pallas.py) for
+        the jitted fast paths; packed once and cached.  Returns None when
+        the sparsity pattern falls outside the kernel's limits (scattered
+        far off-band entries) — callers keep the XLA gather path."""
+        if self._gell is False:
+            return None
+        if self._gell is None:
+            try:
+                from ..ops.ell_pallas import GELLPaddedOperator
+
+                if self.shape[0] != self.shape[1]:
+                    raise ValueError("square operators only")
+                self._gell = GELLPaddedOperator.from_scipy(
+                    self.to_scipy(), block_rows,
+                    dtype=np.dtype(self.dtype))
+            except (ValueError, AssertionError):
+                self._gell = False
+                return None
+        return self._gell
 
     @classmethod
     def from_scipy(cls, A, dtype=None, with_transpose: bool = True,
@@ -371,6 +393,7 @@ class AIJOperator(LinearOperator):
         obj.indices, obj.data, obj.indices_t, obj.data_t = children
         obj.shape, obj._nnz, obj._scipy = aux
         obj.dtype = getattr(obj.data, "dtype", None)
+        obj._gell = None
         return obj
 
 

@@ -486,3 +486,242 @@ class DIAPaddedOperator:
         obj.shape = (obj.n_pad, obj.n_pad)
         obj.dtype = getattr(obj.dp, "dtype", None)
         return obj
+
+
+# ---------------------------------------------------------------------------
+# Double-single (two-float32 compensated) DIA SpMV: the f64 fast path.
+#
+# The remote Mosaic compiler rejects f64 kernels, so f64 operators run the
+# kernel in double-single arithmetic: every value is an UNEVALUATED SUM
+# hi + lo of two f32 (~49-bit effective mantissa, rel. err ~2e-15 — enough
+# for the reference's default 1e-8 tolerance, include/slepcmath.h:25).
+# Products use Dekker splitting (no FMA dependence), sums Knuth two-sum.
+# All error-free transforms stay inside one pallas kernel, where Mosaic
+# performs no unsafe floating-point reassociation (validated on-device
+# against the XLA f64 roll path in bench.py).
+# ---------------------------------------------------------------------------
+
+
+def _fast_two_sum(a, b):
+    """a + b as (s, err), requires |a| >= |b| (or a == 0)."""
+    s = a + b
+    return s, b - (s - a)
+
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _split32(a):
+    """Dekker split: a = hi + lo with hi having 12 trailing zero bits."""
+    c = np.float32(4097.0) * a
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    p = a * b
+    ah, al = _split32(a)
+    bh, bl = _split32(b)
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def _ds_mul(ah, al, bh, bl):
+    p, e = _two_prod(ah, bh)
+    e = e + (ah * bl + al * bh)
+    return _fast_two_sum(p, e)
+
+
+def _ds_add(ah, al, bh, bl):
+    s, e = _two_sum(ah, bh)
+    e = e + (al + bl)
+    return _fast_two_sum(s, e)
+
+
+def _dia_kernel_ds(offsets: Tuple[int, ...], Rb: int, nblk: int,
+                   xmh_ref, xch_ref, xph_ref, xml_ref, xcl_ref, xpl_ref,
+                   dh_ref, dl_ref, yh_ref, yl_ref):
+    """Padded-layout double-single variant of _dia_kernel2."""
+    i = pl.program_id(0)
+
+    @pl.when(jnp.logical_or(i == 0, i == nblk + 1))
+    def _():
+        yh_ref[:] = jnp.zeros((Rb, W), yh_ref.dtype)
+        yl_ref[:] = jnp.zeros((Rb, W), yl_ref.dtype)
+
+    @pl.when(jnp.logical_and(i > 0, i <= nblk))
+    def _():
+        x3h = jnp.concatenate([xmh_ref[:], xch_ref[:], xph_ref[:]], axis=0)
+        x3l = jnp.concatenate([xml_ref[:], xcl_ref[:], xpl_ref[:]], axis=0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (Rb, W), 1)
+        acc_h = acc_l = None
+        for k, off in enumerate(offsets):
+            q, r = divmod(off, W)
+
+            def shifted(x3):
+                A = x3[Rb + q: 2 * Rb + q, :]
+                if r == 0:
+                    return A
+                Bq = x3[Rb + q + 1: 2 * Rb + q + 1, :]
+                shift = np.int32(W - r)
+                return jnp.where(col < W - r, pltpu.roll(A, shift, axis=1),
+                                 pltpu.roll(Bq, shift, axis=1))
+
+            sh, sl = shifted(x3h), shifted(x3l)
+            th, tl = _ds_mul(dh_ref[k], dl_ref[k], sh, sl)
+            if acc_h is None:
+                acc_h, acc_l = th, tl
+            else:
+                acc_h, acc_l = _ds_add(acc_h, acc_l, th, tl)
+        yh_ref[:] = acc_h
+        yl_ref[:] = acc_l
+
+
+@partial(jax.jit, static_argnames=("offsets", "n", "block_rows"))
+def dia_spmv_padded_ds(offsets: Tuple[int, ...], dph, dpl, xph, xpl, n: int,
+                       block_rows: int = 128):
+    """Double-single SpMV in the padded chained layout.
+
+    (xph, xpl) and the returned (yph, ypl) are hi/lo f32 pairs of the
+    ((nblk+2)*Rb, W) layout; halo blocks zeroed in the output.
+    """
+    nd = dph.shape[0]
+    Rb = block_rows
+    nblk = -(-n // (Rb * W))
+
+    def xspec(doff):
+        if doff < 0:
+            return pl.BlockSpec((Rb, W), lambda i: (jnp.maximum(i - 1, i * 0),
+                                                    i * 0),
+                                memory_space=pltpu.VMEM)
+        if doff > 0:
+            return pl.BlockSpec(
+                (Rb, W), lambda i: (jnp.minimum(i + 1, i * 0 + (nblk + 1)),
+                                    i * 0), memory_space=pltpu.VMEM)
+        return pl.BlockSpec((Rb, W), lambda i: (i, i * 0),
+                            memory_space=pltpu.VMEM)
+
+    dspec = pl.BlockSpec((nd, Rb, W),
+                         lambda i: (i * 0,
+                                    jnp.minimum(jnp.maximum(i - 1, i * 0),
+                                                i * 0 + (nblk - 1)),
+                                    i * 0),
+                         memory_space=pltpu.VMEM)
+    yh, yl = pl.pallas_call(
+        partial(_dia_kernel_ds, tuple(offsets), Rb, nblk),
+        grid=(nblk + 2,),
+        in_specs=[xspec(-1), xspec(0), xspec(+1),
+                  xspec(-1), xspec(0), xspec(+1), dspec, dspec],
+        out_specs=(pl.BlockSpec((Rb, W), lambda i: (i, i * 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((Rb, W), lambda i: (i, i * 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct(((nblk + 2) * Rb, W), jnp.float32),
+                   jax.ShapeDtypeStruct(((nblk + 2) * Rb, W), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=60 * nd * n,
+            bytes_accessed=(2 * dph.size + 6 * n) * 4,
+            transcendentals=0,
+        ),
+        interpret=_interp(),
+    )(xph, xph, xph, xpl, xpl, xpl, dph, dpl)
+    return yh, yl
+
+
+def ds_split(x):
+    """f64 array -> (hi, lo) f32 pair with x == hi + lo exactly."""
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(x.dtype)).astype(jnp.float32)
+    return hi, lo
+
+
+def ds_join(hi, lo):
+    return hi.astype(jnp.float64) + lo.astype(jnp.float64)
+
+
+@register_pytree_node_class
+class DIAPaddedOperatorDS:
+    """f64 DIA operator running the double-single Pallas kernel.
+
+    mult2d takes/returns f64 padded-layout arrays; the hi/lo split and
+    join live inside the same jit so XLA fuses them around the kernel.
+    Same contract as DIAPaddedOperator (the jitted KS cycle runs its
+    basis arithmetic in XLA-emulated f64; only the SpMV is the kernel).
+    """
+
+    def __init__(self, offsets, dph, dpl, n, block_rows=128, mask=None):
+        self.offsets = tuple(offsets)
+        self.dph, self.dpl = dph, dpl
+        self.n_interior = int(n)
+        self.block_rows = block_rows
+        Rb = block_rows
+        nblk = -(-self.n_interior // (Rb * W))
+        self.n_pad = (nblk + 2) * Rb * W
+        self.shape = (self.n_pad, self.n_pad)
+        self.dtype = np.dtype(np.float64)
+        self.mask = mask if mask is not None else self._make_mask()
+
+    @classmethod
+    def from_dia(cls, A, block_rows: int = 128):
+        diags64 = jnp.asarray(A.diags, jnp.float64)
+        hi, lo = ds_split(diags64)
+        return cls(A.offsets, prepare_diags(hi, A.shape[0], block_rows),
+                   prepare_diags(lo, A.shape[0], block_rows),
+                   A.shape[0], block_rows)
+
+    def _make_mask(self):
+        Rb = self.block_rows
+        nblk = -(-self.n_interior // (Rb * W))
+        m = jnp.zeros(self.n_pad, dtype=self.dtype)
+        interior = jnp.zeros(nblk * Rb * W, self.dtype) \
+            .at[: self.n_interior].set(1.0)
+        m = jax.lax.dynamic_update_slice(m, interior, (Rb * W,))
+        return m.reshape(-1, W)
+
+    @property
+    def nnz(self):
+        return int(sum(self.n_interior - abs(o) for o in self.offsets))
+
+    @property
+    def mask2d(self):
+        return self.mask
+
+    def mult2d(self, xp):
+        xh, xl = ds_split(xp)
+        yh, yl = dia_spmv_padded_ds(self.offsets, self.dph, self.dpl,
+                                    xh, xl, self.n_interior, self.block_rows)
+        return ds_join(yh, yl)
+
+    def mult(self, x):
+        return self.mult2d(x.reshape(-1, W)).reshape(-1)
+
+    mult_h = mult
+
+    def pad2d(self, x):
+        return pad_vec(jnp.asarray(x, self.dtype), self.n_interior,
+                       self.block_rows)
+
+    def pad(self, x):
+        return self.pad2d(x).reshape(-1)
+
+    def unpad(self, xp):
+        return unpad_vec(xp.reshape(-1, W), self.n_interior, self.block_rows)
+
+    def tree_flatten(self):
+        return (self.dph, self.dpl, self.mask), \
+            (self.offsets, self.n_interior, self.block_rows)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.dph, obj.dpl, obj.mask = children
+        obj.offsets, obj.n_interior, obj.block_rows = aux
+        Rb = obj.block_rows
+        nblk = -(-obj.n_interior // (Rb * W))
+        obj.n_pad = (nblk + 2) * Rb * W
+        obj.shape = (obj.n_pad, obj.n_pad)
+        obj.dtype = np.dtype(np.float64)
+        return obj
