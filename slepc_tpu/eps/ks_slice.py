@@ -5,48 +5,99 @@ shift-and-invert Krylov-Schur runs at a moving shift, with *matrix inertia*
 at strategic points certifying that no eigenvalue is missed (inertia =
 number of eigenvalues below sigma, read off the LDL^T factorization —
 EPSSliceGetInertia, ks-slice.c:227-258); the interval is bisected until
-every subinterval's census matches the eigenvalues found.  The reference
-also distributes subintervals over subcommunicators (npart); here
-subintervals are processed sequentially (the device mesh is busy inside
-each solve) — multi-mesh task parallelism is a later milestone.
+every subinterval's census matches the eigenvalues found.
+
+Factorization economy (the reference reuses the ST factorization at each
+shift for both inertia and the subsequent solves, ks-slice.c:227-258):
+a per-run ``_ShiftFactorCache`` factorizes A - sigma*B ONCE per distinct
+shift, serves the inertia certificate off the LDL^T, and hands the same
+object to the sub-solver's STSinvert as its KSP.  Every factorization is
+logged as the named event ``Slice_Factorization`` (sys/events) so runs
+can audit the count.
+
+The reference also distributes subintervals over subcommunicators
+(npart); here partitions run concurrently on a thread pool (the inner
+solves are host-factorization-bound, so host threads are the right
+resource; device sub-meshes serve the CISS tier in parallel/tasks.py).
 """
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
-from ..ksp.direct import DirectSolver
-from ..mat.linop import AIJOperator, DenseOperator, IdentityOperator, SumOperator
+from ..ksp.ksp import KSP
+from ..mat.linop import AIJOperator, DenseOperator
 from ..st.st import STSinvert
+from ..sys.events import log_event
 from ..sys.sort import Which
 from .base import EPS, EPSConvergedReason
 
 
-def _inertia_at(eps: EPS, sigma: float) -> int:
-    """Number of eigenvalues of (A, B) below sigma (B spd or identity)."""
-    import scipy.sparse as sp
+class _ShiftFactorCache:
+    """sigma -> factorized KSP on (A - sigma B), with inertia.
 
-    As = eps.A.to_scipy()
-    if eps.B is not None:
-        Bs = eps.B.to_scipy()
-        S = As - sigma * Bs
-    else:
-        S = As - sigma * (sp.eye(As.shape[0], format="csr") if sp.issparse(As)
-                          else np.eye(As.shape[0]))
-    if sp.issparse(S):
-        op = AIJOperator.from_scipy(sp.csr_matrix(S))
-    else:
-        op = DenseOperator(S)
-    neg, zero, pos = DirectSolver(op).inertia()
-    if zero:
-        # shift hit an eigenvalue: perturb (reference ks-slice.c:243-247)
-        return _inertia_at(eps, sigma * (1 + 1e-8) + 1e-12)
-    return neg
+    One factorization per distinct shift serves BOTH the inertia
+    certificate and the sinvert inner solves; probes are memoized so the
+    npart boundary search and the bisection worklist never re-factor a
+    shift they have already visited."""
+
+    def __init__(self, eps: EPS):
+        self.eps = eps
+        self._ksp: Dict[float, KSP] = {}
+        self._inertia: Dict[float, int] = {}
+        self.factorizations = 0
+        import threading
+
+        self._lock = threading.Lock()
+
+    def _shifted_op(self, sigma: float):
+        import scipy.sparse as sp
+
+        As = self.eps.A.to_scipy()
+        if self.eps.B is not None:
+            S = As - sigma * self.eps.B.to_scipy()
+        elif sp.issparse(As):
+            S = As - sigma * sp.eye(As.shape[0], format="csr")
+        else:
+            S = As - sigma * np.eye(As.shape[0])
+        if sp.issparse(S):
+            return AIJOperator.from_scipy(sp.csr_matrix(S))
+        return DenseOperator(S)
+
+    def ksp(self, sigma: float) -> KSP:
+        with self._lock:
+            k = self._ksp.get(sigma)
+        if k is not None:
+            return k
+        with log_event("Slice_Factorization"):
+            k = KSP(self._shifted_op(sigma), method="direct")
+            if not k._direct._factored:
+                k._direct._factor()
+        with self._lock:
+            self._ksp[sigma] = k
+            self.factorizations += 1
+        return k
+
+    def inertia(self, sigma: float) -> int:
+        """Eigenvalues of (A, B) below sigma (B spd or identity)."""
+        with self._lock:
+            v = self._inertia.get(sigma)
+        if v is not None:
+            return v
+        k = self.ksp(sigma)
+        neg, zero, pos = k._direct.inertia()
+        if zero:
+            # shift hit an eigenvalue: perturb (reference ks-slice.c:243-247)
+            return self.inertia(sigma * (1 + 1e-8) + 1e-12)
+        with self._lock:
+            self._inertia[sigma] = neg
+        return neg
 
 
-def _process_interval(eps: EPS, a: float, b: float, total: int):
+def _process_interval(eps: EPS, cache: _ShiftFactorCache,
+                      a: float, b: float, total: int):
     """Inertia-certified bisection worklist for one partition; returns
     (lams, errs, Xs, its) for the eigenvalues found inside [a, b]."""
     found_lam: List[float] = []
@@ -67,6 +118,10 @@ def _process_interval(eps: EPS, a: float, b: float, total: int):
                   ncv=min(eps.n, max(2 * cnt + 4, 16)))
         sub.set_target(sigma)
         sub.which = Which.TARGET_MAGNITUDE
+        # the shift's cached factorization doubles as the sinvert KSP
+        mats = [eps.A] if eps.B is None else [eps.A, eps.B]
+        sub.set_st(STSinvert(mats, sigma=sigma, hermitian=eps.B is None,
+                             ksp=cache.ksp(sigma)))
         sub.solve()
         its_total += sub.its
         for i in range(sub.nconv):
@@ -81,9 +136,9 @@ def _process_interval(eps: EPS, a: float, b: float, total: int):
         # census check: how many in (lo, hi) are now found?
         n_found = sum(1 for f in found_lam if lo - 1e-12 <= f <= hi + 1e-12)
         if n_found < cnt:
-            # bisect at sigma with inertia certificates
-            isig = _inertia_at(eps, sigma)
-            cl = isig - _inertia_at(eps, lo)
+            # bisect at sigma with inertia certificates (memoized)
+            isig = cache.inertia(sigma)
+            cl = isig - cache.inertia(lo)
             ch = cnt - cl
             nf_l = sum(1 for f in found_lam if lo - 1e-12 <= f <= sigma)
             nf_h = sum(1 for f in found_lam if sigma < f <= hi + 1e-12)
@@ -105,7 +160,8 @@ def slice_solve(eps: EPS) -> None:
     — the reference's subcommunicator partitions (ks-slice.c npart,
     EPSKrylovSchurSetPartitions) on the host-factorization tier."""
     a, b = eps.interval
-    ia, ib = _inertia_at(eps, a), _inertia_at(eps, b)
+    cache = _ShiftFactorCache(eps)
+    ia, ib = cache.inertia(a), cache.inertia(b)
     total = ib - ia
     if total <= 0:
         eps.nconv = 0
@@ -121,23 +177,26 @@ def slice_solve(eps: EPS) -> None:
         parts = [(a, b, total)]
     else:
         # inertia-balanced partition boundaries: bisection for the points
-        # where the census reaches i*total/npart (reference balances
-        # subintervals by eigenvalue count)
+        # where the census reaches i*total/npart.  ~12 probe levels give
+        # count-resolution boundaries; every probe is memoized, and probed
+        # shifts seed the per-partition solves' factor cache.
         bounds = [a]
         counts = []
         prev_i = ia
         for i in range(1, npart):
             want = ia + (i * total) // npart
             lo_b, hi_b = bounds[-1], b
-            for _ in range(40):
+            for _ in range(12):
                 mid = 0.5 * (lo_b + hi_b)
-                if _inertia_at(eps, mid) < want:
+                if cache.inertia(mid) < want:
                     lo_b = mid
                 else:
                     hi_b = mid
+                if cache.inertia(hi_b) == want and hi_b - lo_b < 0.25 * (b - a) / npart:
+                    break
             bounds.append(hi_b)
-            counts.append(want - prev_i)
-            prev_i = want
+            counts.append(cache.inertia(hi_b) - prev_i)
+            prev_i = cache.inertia(hi_b)
         bounds.append(b)
         counts.append(ib - prev_i)
         parts = [(bounds[i], bounds[i + 1], counts[i])
@@ -145,7 +204,7 @@ def slice_solve(eps: EPS) -> None:
 
     from ..parallel.tasks import thread_map
 
-    results = thread_map(lambda p: _process_interval(eps, *p), parts)
+    results = thread_map(lambda p: _process_interval(eps, cache, *p), parts)
 
     found_lam: List[float] = []
     found_err: List[float] = []
@@ -163,6 +222,7 @@ def slice_solve(eps: EPS) -> None:
     order = np.argsort(found_lam)
     eps.its = its_total
     eps.nconv = len(found_lam)
+    eps.slice_factorizations = cache.factorizations
     eps.eigenvalues = np.asarray(found_lam)[order] if found_lam else np.array([])
     eps.errests = np.asarray(found_err)[order] if found_err else np.array([])
     eps._eigenvectors = (np.stack(found_X, axis=1)[:, order] if found_X

@@ -114,6 +114,71 @@ class PEP:
             return (n0 / nd) ** (1.0 / d)
         return 1.0
 
+    def compute_diagonal_scaling(self, sits: int = 5, slambda: float = 1.0):
+        """Two-sided diagonal balancing Dl P(lambda) Dr (reference:
+        PEP_SCALE_DIAGONAL, PEPBuildDiagonalScaling pepdefault.c:191):
+        build M = sum_k w^k |A_k|.^2 (w = slambda^2 * sfactor) and balance
+        its row/column sums with POWERS OF TWO (Lemonnier-Van Dooren) so
+        the scaling is roundoff-free.  Returns (Dl, Dr) 1-D arrays."""
+        import scipy.sparse as sp
+
+        n = self.n
+        w = 1.0
+        M = None
+        for k, A in enumerate(self.mats):
+            As = A.to_scipy()
+            As = sp.csr_matrix(As) if sp.issparse(As) else sp.csr_matrix(
+                np.asarray(As))
+            Sq = As.copy()
+            Sq.data = np.abs(Sq.data) ** 2
+            M = Sq if M is None else M + w * Sq
+            w *= slambda * slambda * max(self.sfactor, 1e-300)
+        Dl = np.ones(n)
+        Dr = np.ones(n)
+        for _ in range(sits):
+            rsum = np.asarray(M.sum(axis=1)).ravel()
+            csum = np.asarray(M.sum(axis=0)).ravel()
+            er = np.where(rsum > 0, np.round(-np.log2(np.sqrt(rsum))), 0.0)
+            ec = np.where(csum > 0, np.round(-np.log2(np.sqrt(csum))), 0.0)
+            if np.all(er == 0) and np.all(ec == 0):
+                break
+            sl = 2.0 ** er
+            sr = 2.0 ** ec
+            Dl *= sl
+            Dr *= sr
+            M = sp.diags(sl ** 2) @ M @ sp.diags(sr ** 2)
+        return Dl, Dr
+
+    def _apply_diagonal_scaling(self):
+        """Swap in the balanced coefficient matrices; remember Dr for
+        eigenvector unscaling."""
+        from ..mat.linop import DiagonalOperator, aslinearoperator
+        import scipy.sparse as sp
+
+        self.sfactor = max(self.compute_scale(), 1e-300) \
+            if self.scale == "both" else 1.0
+        Dl, Dr = self.compute_diagonal_scaling()
+        self.Dl, self.Dr = Dl, Dr
+        self._unscaled_mats = self.mats
+        newmats = []
+        for A in self.mats:
+            As = A.to_scipy()
+            if sp.issparse(As):
+                S = sp.diags(Dl) @ As @ sp.diags(Dr)
+                newmats.append(aslinearoperator(sp.csr_matrix(S)))
+            else:
+                newmats.append(aslinearoperator(Dl[:, None] * np.asarray(As)
+                                                * Dr[None, :]))
+        self.mats = newmats
+
+    def _undo_diagonal_scaling(self):
+        self.mats = self._unscaled_mats
+        if self._eigenvectors is not None and self._eigenvectors.size:
+            X = self._eigenvectors * self.Dr[:, None]
+            nrm = np.linalg.norm(X, axis=0)
+            nrm[nrm == 0] = 1
+            self._eigenvectors = X / nrm
+
     def _basis_to_monomial(self):
         """Convert coefficient matrices from the configured polynomial
         basis to monomial (reference: PEP bases, pepimpl.h pbc):
@@ -164,6 +229,14 @@ class PEP:
 
     def solve(self):
         self._basis_to_monomial()
+        if self.scale in ("diagonal", "both"):
+            self._apply_diagonal_scaling()
+            try:
+                self.scale = "none" if self.scale == "diagonal" else "scalar"
+                return self.solve()
+            finally:
+                self.scale = "diagonal" if self.scale == "none" else "both"
+                self._undo_diagonal_scaling()
         if getattr(self, "interval", None) is not None:
             if self.tol is None:
                 self.tol = 1e-8
@@ -173,11 +246,20 @@ class PEP:
             return self
         if self.solver == "linear":
             self._solve_linear()
-        elif self.solver in ("toar", "qarnoldi"):
-            # qarnoldi shares the compact-basis Krylov engine
+        elif self.solver == "toar":
             from .toar import toar_solve
 
             toar_solve(self)
+        elif self.solver == "qarnoldi":
+            # memory-saving Q-Arnoldi recurrence (quadratic only)
+            from .qarnoldi import qarnoldi_solve
+
+            if self.degree == 2:
+                qarnoldi_solve(self)
+            else:
+                from .toar import toar_solve
+
+                toar_solve(self)
         elif self.solver == "stoar":
             # symmetric pseudo-Lanczos on the symmetric linearization
             from .stoar import stoar_solve

@@ -247,7 +247,10 @@ def toar_solve(pep) -> None:
                                axis=1)  # (r, d*ncols)
             Ur_, sv, _ = np.linalg.svd(M, full_matrices=False)
             rho = int(np.sum(sv > 1e-13 * max(sv[0] if sv.size else 0, 1e-300)))
-            rho = max(min(rho, r), 1)
+            # capacity invariant: the next cycle adds one U column per
+            # extension step, so rho must leave room (rho <= ncols+d-1
+            # keeps r <= ncv+d = rmax-1 at cycle end)
+            rho = max(min(rho, r, ncols + d - 1), 1)
             W = Ur_[:, :rho]
             Uact = U[:, :r] @ jnp.asarray(W, dtype=dtype)
             U = U.at[:, :rho].set(Uact)

@@ -216,12 +216,16 @@ class STSinvert(ST):
     name = "sinvert"
 
     def __init__(self, matrices, sigma: complex = 0.0, ksp_opts=None,
-                 hermitian: bool = False):
+                 hermitian: bool = False, ksp=None):
         super().__init__(matrices, sigma, ksp_opts)
         self.hermitian = hermitian
+        # prebuilt KSP: spectrum slicing reuses ONE factorization per shift
+        # for both inertia and the sinvert solves (ks-slice.c:227-258)
+        self._ksp_prebuilt = ksp
 
     def _compute_operator(self) -> LinearOperator:
-        ksp = self._make_ksp(self.sigma, hermitian=self.hermitian and self.B is None)
+        ksp = self._ksp_prebuilt if self._ksp_prebuilt is not None else \
+            self._make_ksp(self.sigma, hermitian=self.hermitian and self.B is None)
         self.ksp = ksp
         n = self.A.shape[0]
         B = self.B
