@@ -94,6 +94,8 @@ class LME:
             return sub.solve(Ct)
         if self.problem_type == LMEProblemType.SYLVESTER and self.A.shape[0] > 600:
             return self._solve_sylvester_krylov(C1, C2)
+        if self.problem_type == LMEProblemType.STEIN and self.A.shape[0] > 600:
+            return self._solve_stein_krylov(C1)
         if self.problem_type != LMEProblemType.LYAPUNOV:
             return self._solve_sylvester_like(C1 if C2 is None else
                                               np.atleast_2d(C1) @ np.atleast_2d(C2).conj().T)
@@ -148,44 +150,122 @@ class LME:
 
     def _solve_sylvester_krylov(self, C1: np.ndarray, C2: np.ndarray):
         """Two-sided Krylov projection for large Sylvester equations with
-        low-rank rhs C = C1 C2^H (reference lmekrylov.c strategy applied
-        two-sided): bases V = K(A, C1), W = K(B^H, C2); solve the small
-        projected Sylvester; X ~ L R^H."""
+        low-rank rhs C = C1 C2^H (reference lmekrylov.c:48-199 strategy
+        applied two-sided): per rank-1 term c1 c2^H build V = K_m(A, c1),
+        W = K_m(B^H, c2), solve the projected Sylvester
+        HA Y + Y HB^H + ||c1|| ||c2|| e1 e1^T = 0, and stop on the EXACT
+        factored residual
+           R = betaA v_{m+1} (e_m^T Y) W^H + (V Y e_m) betaB w_{m+1}^H
+           ||R||_F = sqrt(betaA^2 ||Y[m-1,:]||^2 + betaB^2 ||Y[:,m-1]||^2)
+        (both Arnoldi relations exact, the rhs lies in the bases); the
+        basis doubles until the relative residual meets tol.
+        Returns (L, R): X ~ L R^H."""
         import scipy.linalg as sla
 
         from ..bv.bv import BV
         from ..bv.krylov import extend_dispatch
+        from ..mat.linop import AdjointOperator
 
         A, Bop = self.A, self.B
         n, m2 = A.shape[0], Bop.shape[0]
         dtype = np.dtype(A.dtype)
+        if self.tol is None:
+            self.tol = 1e-8 if np.dtype(dtype).itemsize >= 8 else 1e-5
         C1 = np.atleast_2d(np.asarray(C1))
         C2 = np.atleast_2d(np.asarray(C2))
         if C1.shape[0] != n:
             C1 = C1.T
         if C2.shape[0] != m2:
             C2 = C2.T
-        mdim = min(self.ncv, n, m2)
-        # rank-1 columns processed jointly through shared bases
-        v0 = C1[:, 0] / np.linalg.norm(C1[:, 0])
-        w0 = C2[:, 0] / np.linalg.norm(C2[:, 0])
-        Vb = BV(n, mdim + 1, dtype)
-        Vb.set_column(0, jnp.asarray(v0, dtype=dtype))
-        Wb = BV(m2, mdim + 1, dtype)
-        Wb.set_column(0, jnp.asarray(w0, dtype=dtype))
-        HA = jnp.zeros((mdim + 1, mdim), dtype=dtype)
-        HB = jnp.zeros((mdim + 1, mdim), dtype=dtype)
-        from ..mat.linop import AdjointOperator
+        self.its = 0
+        Ls, Rs = [], []
+        for j in range(min(C1.shape[1], C2.shape[1])):
+            n1 = np.linalg.norm(C1[:, j])
+            n2 = np.linalg.norm(C2[:, j])
+            if n1 == 0 or n2 == 0:
+                continue
+            mdim = min(self.ncv, n, m2)
+            while True:
+                self.its += 1
+                Vb = BV(n, mdim + 1, dtype)
+                Vb.set_column(0, jnp.asarray(C1[:, j] / n1, dtype=dtype))
+                Wb = BV(m2, mdim + 1, dtype)
+                Wb.set_column(0, jnp.asarray(C2[:, j] / n2, dtype=dtype))
+                HA = jnp.zeros((mdim + 1, mdim), dtype=dtype)
+                HB = jnp.zeros((mdim + 1, mdim), dtype=dtype)
+                Varr, HA, bA, _, _ = extend_dispatch(A, Vb.array, HA, 0, mdim)
+                Warr, HB, bB, _, _ = extend_dispatch(
+                    AdjointOperator(Bop), Wb.array, HB, 0, mdim)
+                Ap = np.asarray(HA)[:mdim, :mdim]
+                Bp = np.asarray(HB)[:mdim, :mdim].conj().T  # W^H B W
+                Cp = np.zeros((mdim, mdim), dtype=np.asarray(Ap).dtype)
+                Cp[0, 0] = n1 * n2
+                Y = sla.solve_sylvester(Ap, Bp, -Cp)
+                res = np.hypot(float(bA) * np.linalg.norm(Y[-1, :]),
+                               float(bB) * np.linalg.norm(Y[:, -1]))
+                self.errest = res / max(n1 * n2, 1e-300)
+                if (self.errest < self.tol or mdim >= min(n, m2)
+                        or self.its >= self.max_it):
+                    break
+                mdim = min(2 * mdim, min(n, m2))
+            Ls.append(np.asarray(Varr[:, :mdim]) @ Y)
+            Rs.append(np.asarray(Warr[:, :mdim]))
+        if not Ls:
+            return np.zeros((n, 0)), np.zeros((m2, 0))
+        return np.concatenate(Ls, axis=1), np.concatenate(Rs, axis=1)
 
-        Varr, HA, _, _, _ = extend_dispatch(A, Vb.array, HA, 0, mdim)
-        Warr, HB, _, _, _ = extend_dispatch(AdjointOperator(Bop), Wb.array, HB, 0, mdim)
-        V = np.asarray(Varr[:, :mdim])
-        W = np.asarray(Warr[:, :mdim])
-        Ap = np.asarray(HA)[:mdim, :mdim]
-        Bp = np.asarray(HB)[:mdim, :mdim].conj().T  # W^H B W
-        Cp = (V.conj().T @ C1) @ (C2.conj().T @ W)
-        Y = sla.solve_sylvester(Ap, Bp, -Cp)
-        return V @ Y, W  # X ~ (V Y) W^H
+    def _solve_stein_krylov(self, C1: np.ndarray):
+        """Krylov projection for large Stein equations
+        A X A^H - X + C1 C1^H = 0 (reference slepclme.h LME_STEIN; same
+        lmekrylov.c projection pattern): per rhs column, V = K_m(A, c),
+        projected discrete Lyapunov Hm Y Hm^H - Y + c c^T = 0, residual
+        from the Arnoldi cross terms
+          ||R|| <= 2 beta ||Hm Y e_m|| + beta^2 |Y[m-1,m-1]|.
+        Returns Z with X ~ Z Z^H (C1 C1^H rhs keeps X PSD)."""
+        import scipy.linalg as sla
+
+        from ..bv.bv import BV
+        from ..bv.krylov import extend_dispatch
+
+        A = self.A
+        n = A.shape[0]
+        dtype = np.dtype(A.dtype)
+        if self.tol is None:
+            self.tol = 1e-8 if np.dtype(dtype).itemsize >= 8 else 1e-5
+        C1 = np.atleast_2d(np.asarray(C1))
+        if C1.shape[0] != n:
+            C1 = C1.T
+        self.its = 0
+        Zs = []
+        for j in range(C1.shape[1]):
+            cn = np.linalg.norm(C1[:, j])
+            if cn == 0:
+                continue
+            mdim = min(self.ncv, n)
+            while True:
+                self.its += 1
+                Vb = BV(n, mdim + 1, dtype)
+                Vb.set_column(0, jnp.asarray(C1[:, j] / cn, dtype=dtype))
+                H = jnp.zeros((mdim + 1, mdim), dtype=dtype)
+                Varr, H, beta, _, _ = extend_dispatch(A, Vb.array, H, 0, mdim)
+                Hm = np.asarray(H)[:mdim, :mdim]
+                E = np.zeros((mdim, mdim))
+                E[0, 0] = cn * cn
+                Y = sla.solve_discrete_lyapunov(Hm, E)
+                b = float(beta)
+                res = (2.0 * b * np.linalg.norm(Hm @ Y[:, -1])
+                       + b * b * abs(Y[-1, -1]))
+                self.errest = res / max(cn * cn, 1e-300)
+                if (self.errest < self.tol or mdim >= n
+                        or self.its >= self.max_it):
+                    break
+                mdim = min(2 * mdim, n)
+            w, P = np.linalg.eigh(0.5 * (Y + Y.conj().T))
+            w = np.maximum(w, 0.0)
+            keep = np.sqrt(w) > 1e-14 * max(np.sqrt(w).max(), 1e-300)
+            L = (P * np.sqrt(w)[None, :])[:, keep]
+            Zs.append(np.asarray(Varr[:, :mdim]) @ L)
+        return np.concatenate(Zs, axis=1) if Zs else np.zeros((n, 0))
 
     def _solve_sylvester_like(self, C: np.ndarray) -> np.ndarray:
         """Dense fallback for Sylvester/Stein (small n) — the dense kernels

@@ -192,3 +192,49 @@ def test_pep_diagonal_scaling_backward_error():
         assert pep.nconv >= 3
         res[scale] = backres(pep)
     assert res["diagonal"] < 0.1 * res["none"]
+
+
+def test_lme_sylvester_krylov_large():
+    """Krylov-projected Sylvester (reference lmekrylov.c:48-199 pattern):
+    exact factored-residual stopping; dense check at n=1000 (same code
+    path, >600 gate) and matrix-free run at n=1e5."""
+    from slepc_tpu.lme.lme import LME
+
+    rng = np.random.default_rng(0)
+    n, m = 1000, 800
+    A = st.laplacian_1d(n) + 2.0 * st.IdentityOperator(n, np.float64)
+    B = st.laplacian_1d(m) + 1.5 * st.IdentityOperator(m, np.float64)
+    c1 = rng.standard_normal(n)
+    c2 = rng.standard_normal(m)
+    lme = LME(A, B=B, problem_type="sylvester", ncv=20, tol=1e-10)
+    L, R = lme.solve(c1, c2)
+    X = L @ R.conj().T
+    Ad = np.asarray(A.to_dense())
+    Bd = np.asarray(B.to_dense())
+    res = np.linalg.norm(Ad @ X + X @ Bd + np.outer(c1, c2))
+    assert res / (np.linalg.norm(c1) * np.linalg.norm(c2)) < 1e-9
+
+    # matrix-free at n = 1e5: projected residual certified
+    n2 = 100000
+    A2 = st.laplacian_1d(n2) + 2.0 * st.IdentityOperator(n2, np.float64)
+    B2 = st.laplacian_1d(n2) + 1.5 * st.IdentityOperator(n2, np.float64)
+    lme2 = LME(A2, B=B2, problem_type="sylvester", ncv=30, tol=1e-9)
+    L2, R2 = lme2.solve(rng.standard_normal(n2), rng.standard_normal(n2))
+    assert lme2.errest < 1e-9
+    assert L2.shape == (n2, 30) and R2.shape == (n2, 30)
+
+
+def test_lme_stein_krylov():
+    """Krylov-projected Stein equation A X A^H - X + c c^H = 0."""
+    from slepc_tpu.lme.lme import LME
+
+    rng = np.random.default_rng(1)
+    n = 2000
+    A = 0.2 * st.laplacian_1d(n)  # spectral radius < 1
+    c = rng.standard_normal(n)
+    lme = LME(A, problem_type="stein", ncv=24, tol=1e-10)
+    Z = lme.solve(c)
+    assert lme.errest < 1e-10
+    AZ = np.asarray(A.mult(jnp.asarray(Z)))
+    Rm = AZ @ AZ.T - Z @ Z.T + np.outer(c, c)
+    assert np.linalg.norm(Rm) / np.linalg.norm(np.outer(c, c)) < 1e-9
