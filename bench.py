@@ -261,6 +261,13 @@ def main():
     out["spmv_nnz"] = nnz
     out["spmv_time_per_iter_ms"] = dt * 1e3
     out["vs_baseline_nominal"] = nnz_per_s / (8.2e11 / 5.6)
+    # roofline = fastest byte-mover observed in-process (the naive stream
+    # kernel, or the SpMV itself on its own actual bytes when it beats
+    # the stream — the shared chip's window shifts between measurements)
+    actual_bytes = (len(A.offsets) * n + 2.25 * n) * 4  # v3 halo re-reads
+    roof_bw = max(stream_bytes / dt_stream, actual_bytes / dt)
+    out["roofline_bw_gb_s"] = roof_bw / 1e9
+    vs_cal = (stream_bytes / dt) / roof_bw
     out["ks_orth_overhead_vs_spmv"] = \
         out["ks_cycle_blocked_per_column_ms"] / (dt * 1e3) - 1.0
     out["ks_orth_overhead_full_cgs2"] = \
@@ -302,8 +309,9 @@ def main():
         "metric": "spmv_nnz_per_s",
         "value": nnz_per_s,
         "unit": "nnz/s",
-        # calibrated: 1.0 == this window's measured stream speed of light
-        "vs_baseline": dt_stream / dt,
+        # calibrated: 1.0 == ideal bytes moved at this window's measured
+        # achievable bandwidth (in-process roofline)
+        "vs_baseline": vs_cal,
         **out,
     }))
 

@@ -260,8 +260,12 @@ class EPS:
         'full' (CGS2 every column, default), 'partial' (Simon omega-
         recurrence drift monitor — local 3-term orth, full sweep only when
         the estimate crosses sqrt(eps); large bandwidth win at scale),
-        'periodic' (every `period` columns; EXPERIMENTAL, no monitor)."""
-        assert kind in ("full", "partial", "periodic")
+        'periodic' (every `period` columns; EXPERIMENTAL, no monitor),
+        'selective' (local 3-term + converged Ritz rows, Parlett-Scott),
+        'delayed' (reference latency-hiding variant — subsumed by the
+        fused-reduction jitted cycle; maps to 'full')."""
+        assert kind in ("full", "partial", "periodic", "selective",
+                        "delayed", "local")
         self.reorth = kind
         if kind == "periodic":
             self.reorth_period = period

@@ -22,6 +22,95 @@ from .base import EPS, EPSSolver
 from .krylovschur import _pair_keys
 
 
+def _lanczos_run_host(op, Varr, kstart: int, m: int, nc: int, mode: str,
+                      period: int, nsel_max: int):
+    """Host-orchestrated Lanczos run with the reference's light
+    reorthogonalization modes (lanczos.c EPSLanczosReorthogType):
+
+      local     — bare 3-term recurrence (+ orth against locked columns);
+      selective — Parlett-Scott: additionally, when a Ritz pair of the
+                  running tridiagonal becomes nearly converged
+                  (beta |s_mi| < sqrt(eps) ||T||), its Ritz vector is
+                  FORMED ONCE and every later Lanczos vector is
+                  orthogonalized against it — orthogonality degrades
+                  precisely along converged Ritz directions, so this
+                  restores semi-orthogonality at O(#converged) extra
+                  vectors of traffic;
+      periodic  — a full CGS2 sweep every `period` columns.
+
+    Returns (Varr, H, beta, breakdown).
+    """
+    import jax.numpy as jnp
+
+    dtype = Varr.dtype
+    rdt = np.zeros((), dtype).real.dtype
+    sqeps = float(np.sqrt(np.finfo(rdt).eps))
+    n = Varr.shape[0]
+    H = np.zeros((m + 1, m), dtype=dtype)
+    sel: list = []  # formed Ritz vectors (Parlett-Scott)
+    sel_vals: list = []
+    alphas: list = []
+    betas: list = []
+    base = Varr[:, : nc + kstart] if nc + kstart > 0 else None
+    beta = 0.0
+    for j in range(kstart, m):
+        v = Varr[:, nc + j]
+        w = op.mult(v)
+        if j > kstart:
+            w = w - betas[-1] * Varr[:, nc + j - 1]
+        alpha = float(jnp.vdot(v, w).real)
+        w = w - alpha * v
+        alphas.append(alpha)
+        # locked columns + deflation constraints: always (CGS x2)
+        if base is not None:
+            for _ in range(2):
+                w = w - base @ (base.conj().T @ w)
+        if mode == "selective" and sel:
+            Smat = jnp.stack(sel, axis=1)
+            for _ in range(2):
+                w = w - Smat @ (Smat.conj().T @ w)
+        if mode == "periodic" and (j - kstart) % max(period, 1) == max(period, 1) - 1:
+            act = Varr[:, nc: nc + j + 1]
+            for _ in range(2):
+                w = w - act @ (act.conj().T @ w)
+        beta = float(jnp.linalg.norm(w))
+        nrm_T = max([abs(a) for a in alphas] + betas + [1e-300])
+        if beta < 1e-12 * nrm_T:
+            H[kstart + len(alphas), kstart + len(alphas) - 1] = 0.0
+            for i, a in enumerate(alphas):
+                H[kstart + i, kstart + i] = a
+            for i, b in enumerate(betas):
+                H[kstart + i + 1, kstart + i] = b
+                H[kstart + i, kstart + i + 1] = b
+            return Varr, jnp.asarray(H), 0.0, True
+        Varr = Varr.at[:, nc + j + 1].set(w / beta)
+        if mode == "selective" and len(alphas) >= 2 and len(sel) < nsel_max:
+            import scipy.linalg as sla
+
+            th, S = sla.eigh_tridiagonal(np.asarray(alphas),
+                                         np.asarray(betas))
+            bounds = beta * np.abs(S[-1, :])
+            for i in np.argsort(bounds):
+                if bounds[i] >= sqeps * nrm_T or len(sel) >= nsel_max:
+                    break
+                if any(abs(th[i] - tv) < 1e-8 * nrm_T for tv in sel_vals):
+                    continue
+                y = Varr[:, nc + kstart: nc + j + 1] @ jnp.asarray(
+                    S[:, i], dtype=dtype)
+                y = y / jnp.linalg.norm(y)
+                sel.append(y)
+                sel_vals.append(th[i])
+        betas.append(beta)
+    betas = betas[:-1]
+    for i, a in enumerate(alphas):
+        H[kstart + i, kstart + i] = a
+    for i, b in enumerate(betas):
+        H[kstart + i + 1, kstart + i] = b
+        H[kstart + i, kstart + i + 1] = b
+    H[m, m - 1] = beta
+    return Varr, jnp.asarray(H), beta, False
+
+
 class _ExplicitRestartKrylov(EPSSolver):
     hermitian_only = False
 
@@ -55,11 +144,21 @@ class _ExplicitRestartKrylov(EPSSolver):
         errs = np.zeros(ncv)
         X_locked = []
 
+        rmode = getattr(eps, "reorth", "full")
+        use_light = (hermitian and Bip is None
+                     and rmode in ("local", "selective", "periodic"))
+
         while eps.its < eps.max_it and k < nev:
             eps.its += 1
-            H = jnp.zeros((ncv + 1, ncv), dtype=dtype)
-            V.array, H, beta_j, brk, _ = extend_dispatch(
-                op, V.array, H, k, ncv, nc=nc, Bop=Bip)
+            if use_light:
+                V.array, H, beta_j, brk = _lanczos_run_host(
+                    op, V.array, k, ncv, nc, rmode,
+                    int(getattr(eps, "reorth_period", 4) or 4),
+                    nsel_max=nev + 4)
+            else:
+                H = jnp.zeros((ncv + 1, ncv), dtype=dtype)
+                V.array, H, beta_j, brk, _ = extend_dispatch(
+                    op, V.array, H, k, ncv, nc=nc, Bop=Bip)
             beta = float(beta_j)
             Hh = np.asarray(H)
             S = Hh[k:ncv, k:ncv]

@@ -34,10 +34,10 @@ import numpy as np
 
 
 @partial(jax.jit, static_argnames=("ncv", "which", "passes", "reorth_period",
-                                   "reorth"))
+                                   "reorth", "nsel"))
 def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
                  passes: int = 2, reorth_period: int = 1,
-                 reorth: str = "full"):
+                 reorth: str = "full", nlock=0, nsel: int = 0):
     """One Krylov-Schur(HEP) restart cycle.
 
     Args:
@@ -248,7 +248,67 @@ def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
         # the contaminated om_{j+1-1} row)
         return V, H, om_cur_out, om_next, tripped
 
-    if reorth == "partial":
+    # ---- selective reorthogonalization (Parlett-Scott; reference
+    # EPS_LANCZOS_REORTHOG_SELECTIVE, lanczos.c): local 3-term recurrence
+    # plus projection against the CONVERGED Ritz rows only (after a
+    # Krylov-Schur restart the leading rows ARE Ritz vectors).  Bandwidth
+    # per column = 2 local rows + nsel leading rows instead of the whole
+    # basis.  ('delayed' reorthogonalization exists in the reference to
+    # hide reduction LATENCY; the jitted cycle already fuses its CGS
+    # reductions into one XLA program, so that mode is subsumed by
+    # design and maps to 'full'.)
+    def body_selective(j, state):
+        V, H = state
+        v = V[j]
+        w = opmult(v)
+        mask = (jnp.arange(ncv + 1) < j + 1).astype(rdtype)
+        j0loc = jnp.maximum(j - 1, 0)
+        Vloc = jax.lax.dynamic_slice_in_dim(V, j0loc, 2, axis=0)
+        locmask = ((jnp.arange(2) + j0loc) < j + 1).astype(rdtype)
+        Vsel = V[:nsel] if nsel else None
+
+        def orth_pass(w):
+            cl = jnp.einsum("k...,...->k", Vloc.conj(), w) * locmask
+            w = w - jnp.einsum("k,k...->...", cl, Vloc)
+            c = jnp.zeros(ncv + 1, dtype=V.dtype)
+            c = jax.lax.dynamic_update_slice(c, cl, (j0loc,))
+            if Vsel is not None:
+                smask = ((jnp.arange(nsel) < nlock)
+                         & (jnp.arange(nsel) < j - 1)).astype(rdtype)
+                cs = jnp.einsum("k...,...->k", Vsel.conj(), w) * smask
+                w = w - jnp.einsum("k,k...->...", cs, Vsel)
+                c = c.at[:nsel].add(cs)
+            return w, c
+
+        w, c1 = orth_pass(w)
+        w, c2 = orth_pass(w)
+        c_tot = c1 + c2
+        beta = jnp.linalg.norm(w)
+        is_brk = beta < eps_mach ** 0.75 * (jnp.linalg.norm(c_tot) + eps_mach)
+
+        def mk_restart(_):
+            rnd = jax.random.normal(jax.random.fold_in(key, j), vshape,
+                                    rdtype).astype(V.dtype)
+            if opmask is not None:
+                rnd = rnd * opmask
+            rnd = rnd - vcomb(vdots(V, rnd) * mask, V)
+            rnd = rnd - vcomb(vdots(V, rnd) * mask, V)
+            return rnd, jnp.linalg.norm(rnd)
+
+        w, beta_eff = jax.lax.cond(is_brk, mk_restart,
+                                   lambda _: (w, beta), None)
+        safe = jnp.where(beta_eff > 0, beta_eff, 1.0)
+        V = V.at[j + 1].set(w / safe)
+        col = jnp.zeros((ncv + 1,), dtype=H.dtype)
+        col = col.at[:ncv].set(c_tot[:ncv])
+        col = jax.lax.dynamic_update_index_in_dim(
+            col, jnp.where(is_brk, 0.0, beta).astype(H.dtype), j + 1, 0)
+        H = H.at[:, j].set(col)
+        return V, H
+
+    if reorth == "selective" and nsel > 0:
+        V, H = jax.lax.fori_loop(j0, ncv, body_selective, (V, H))
+    elif reorth == "partial":
         # init = sqrt(eps): bound on the restarted block's pairwise drift
         # (~sqrt(ncv) x the maintained sqrt(eps)/sqrt(ncv) trip level).
         # The contaminated rows only feed the first two recurrence steps
@@ -561,10 +621,18 @@ def ks_hep_solve(eps, op, which: str, Bip=None) -> bool:
                     op, V, H, j0, eps.tol, key, ncv=ncv, b=bsize,
                     which=which)
             else:
+                rmode = getattr(eps, "reorth", "full")
+                if rmode == "delayed":  # latency motive subsumed by the
+                    rmode = "full"      # fused-reduction jitted cycle
+                if rmode == "selective":
+                    # Parlett-Scott selective belongs to the explicit
+                    # Lanczos solver (eps/explicit.py); KS's safe light
+                    # policy is the omega-monitored partial mode
+                    rmode = "partial"
                 V, H, j0, k2j, theta, errest, beta = ks_hep_cycle(
                     op, V, H, j0, eps.tol, key, ncv=ncv, which=which,
                     reorth_period=getattr(eps, "reorth_period", 1),
-                    reorth=getattr(eps, "reorth", "full"))
+                    reorth=rmode, nlock=jnp.asarray(k2))
             k2 = int(k2j)
         if len(eps.monitor):
             eps.monitor(eps, eps.its, k2, np.asarray(theta), np.asarray(errest))

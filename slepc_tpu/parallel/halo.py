@@ -76,6 +76,37 @@ def dia_spmv_halo(diags, x, *, offsets: tuple, mesh: Mesh):
                          out_specs=P(ROWS))(diags, x)
 
 
+@partial(jax.jit, static_argnames=("offsets", "mesh"))
+def dia_spmm_halo(diags, X, *, offsets: tuple, mesh: Mesh):
+    """Block variant of dia_spmv_halo: X (n, k) sharded P(ROWS, None);
+    one collective-permute pair ships the boundary rows of ALL columns."""
+    kdev = mesh.shape[ROWS]
+    n = X.shape[0]
+    h = _halo_width(offsets)
+    assert n % kdev == 0 and h <= n // kdev, (n, kdev, h)
+
+    def local(d_loc, X_loc):
+        nloc = X_loc.shape[0]
+        if h == 0:
+            Xext = X_loc
+        else:
+            right = jax.lax.ppermute(
+                X_loc[:h], ROWS, [(i + 1, i) for i in range(kdev - 1)])
+            left = jax.lax.ppermute(
+                X_loc[nloc - h:], ROWS, [(i, i + 1) for i in range(kdev - 1)])
+            Xext = jnp.concatenate([left, X_loc, right], axis=0)
+        Y = jnp.zeros_like(X_loc)
+        for d, off in enumerate(offsets):
+            seg = jax.lax.dynamic_slice_in_dim(Xext, h + off, nloc, axis=0) \
+                if h else X_loc
+            Y = Y + d_loc[d][:, None] * seg
+        return Y
+
+    return jax.shard_map(local, mesh=mesh,
+                         in_specs=(P(None, ROWS), P(ROWS, None)),
+                         out_specs=P(ROWS, None))(diags, X)
+
+
 class HaloDIAOperator:
     """DIA operator bound to a row mesh; mult() uses the halo exchange.
 
@@ -115,11 +146,11 @@ class HaloDIAOperator:
         if x.ndim == 1:
             return dia_spmv_halo(self.diags, x, offsets=self.offsets,
                                  mesh=self.mesh)
-        # block: vmap over columns (each column one halo exchange; XLA
-        # batches the ppermutes into a single larger payload)
-        cols = [dia_spmv_halo(self.diags, x[:, j], offsets=self.offsets,
-                              mesh=self.mesh) for j in range(x.shape[1])]
-        return jnp.stack(cols, axis=1)
+        # block: ONE shard_map with a single ppermute pair carrying the
+        # (h, k) boundary block of all k columns together (the reference
+        # batches the VecScatter the same way for BVMatMult)
+        return dia_spmm_halo(self.diags, x, offsets=self.offsets,
+                             mesh=self.mesh)
 
     # LinearOperator protocol pieces used by the solvers
     def rmult(self, x):

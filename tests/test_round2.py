@@ -238,3 +238,54 @@ def test_lme_stein_krylov():
     AZ = np.asarray(A.mult(jnp.asarray(Z)))
     Rm = AZ @ AZ.T - Z @ Z.T + np.outer(c, c)
     assert np.linalg.norm(Rm) / np.linalg.norm(np.outer(c, c)) < 1e-9
+
+
+def test_lanczos_light_reorth_modes():
+    """Explicit Lanczos local/selective/periodic reorthogonalization
+    (reference lanczos.c EPSLanczosReorthogType; selective =
+    Parlett-Scott formed-Ritz-vector orthogonalization)."""
+    A = st.laplacian_2d(32, 31, dtype=np.float64)
+    exact_l = laplacian_2d_eigs(32, 31)[::-1][:3]
+    for mode in ("local", "selective", "periodic"):
+        eps = st.EPS(A, problem_type="hep", solver="lanczos",
+                     which="largest_real", nev=3, ncv=22, tol=1e-9,
+                     max_it=500)
+        eps.set_reorthogonalization(mode)
+        eps.solve()
+        assert eps.nconv >= 3, mode
+        got = np.sort(eps.eigenvalues[:3].real)[::-1]
+        np.testing.assert_allclose(got, exact_l, rtol=1e-8,
+                                   err_msg=mode)
+
+
+def test_halo_block_mult_single_exchange():
+    """HaloDIAOperator block mult ships ALL columns' boundary rows in one
+    collective-permute pair (no per-column exchanges)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    import functools
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from slepc_tpu.parallel import HaloDIAOperator
+    from slepc_tpu.parallel.halo import dia_spmm_halo
+    from slepc_tpu.sys import mesh as meshmod
+
+    devs = np.asarray(jax.devices())
+    m = Mesh(devs.reshape(-1), ("rows",))
+    try:
+        meshmod.set_mesh(m)
+        A = st.laplacian_2d(40, 40)
+        H = HaloDIAOperator.from_dia(A, m)
+        rng = np.random.default_rng(0)
+        X = rng.standard_normal((A.shape[0], 5))
+        Xs = jax.device_put(jnp.asarray(X), NamedSharding(m, P("rows", None)))
+        Y = np.asarray(H.mult(Xs))
+        np.testing.assert_allclose(Y, A.to_scipy() @ X, atol=1e-12)
+        hlo = jax.jit(functools.partial(
+            dia_spmm_halo, offsets=A.offsets, mesh=m)).lower(
+            H.diags, Xs).compile().as_text()
+        assert hlo.count("collective-permute") == 2
+        assert hlo.count("all-gather") == 0
+    finally:
+        meshmod.set_mesh(None)
