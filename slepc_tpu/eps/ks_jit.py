@@ -415,20 +415,32 @@ def ks_hep_cycle_blocked(op, V, H, jb0, tol, key, ncv: int, b: int,
         X = jnp.einsum("ij,j...->i...", inv_half.astype(Wb.dtype), Wb)
         return X, half.astype(Wb.dtype)
 
-    def body(p, state):
-        V, H, key = state
-        X = jax.lax.dynamic_slice_in_dim(V, p * b, b, axis=0)
+    def step(p, V, H, key):
+        """One block step at STATIC block index p: every basis read is a
+        static prefix slice V[: (p+1)*b], so the GEMM traffic tracks the
+        actual fill instead of the full allocation.  The second BCGS pass
+        runs only when the first lost more than 1/sqrt(2) of the block's
+        mass (the reference's IFNEEDED eta rule at block granularity,
+        bvorthog.c:174-203) — a cond per BLOCK, not per column."""
+        m = (p + 1) * b
+        Vact = V[:m]
+        X = V[p * b: m]
         Wb = jnp.stack([opmult(X[i]) for i in range(b)])
-        mask = (jnp.arange(ncv + b) < (p + 1) * b).astype(rdtype)
-        # BCGS2: two project+update rounds over the whole active basis
-        C1 = vdots_blk(V, Wb, mask)
-        Wb = Wb - vcomb_blk(C1, V)
-        C2 = vdots_blk(V, Wb, mask)
-        Wb = Wb - vcomb_blk(C2, V)
+        nrm0 = jnp.linalg.norm(Wb)
+        C1 = jnp.einsum("k...,m...->km", Vact.conj(), Wb)
+        Wb = Wb - jnp.einsum("km,k...->m...", C1, Vact)
+        nrm1 = jnp.linalg.norm(Wb)
+
+        def second_pass(Wb):
+            C2 = jnp.einsum("k...,m...->km", Vact.conj(), Wb)
+            return Wb - jnp.einsum("km,k...->m...", C2, Vact), C2
+
+        Wb, C2 = jax.lax.cond(
+            nrm1 < np.float32(0.7071) * nrm0, second_pass,
+            lambda Wb: (Wb, jnp.zeros((m, b), dtype=V.dtype)), Wb)
         C = C1 + C2
         # soft breakdown: near-rank-deficient block -> mix in fresh
-        # random directions, re-orthogonalize, re-factor (rare; behind a
-        # cond so the common path stays 4 basis passes per block)
+        # random directions, re-orthogonalize (rare; behind a cond)
         S = jnp.einsum("i...,j...->ij", Wb.conj(), Wb)
         lam_min = jnp.linalg.eigvalsh(0.5 * (S + S.conj().T))[0]
         scale = jnp.maximum(jnp.linalg.norm(C), 1.0)
@@ -441,23 +453,31 @@ def ks_hep_cycle_blocked(op, V, H, jb0, tol, key, ncv: int, b: int,
             if opmask is not None:
                 rnd = rnd * opmask
             Wb = Wb + eps_mach ** 0.5 * scale * rnd
-            Wb = Wb - vcomb_blk(vdots_blk(V, Wb, mask), V)
-            Wb = Wb - vcomb_blk(vdots_blk(V, Wb, mask), V)
+            for _ in range(2):
+                Cr = jnp.einsum("k...,m...->km", Vact.conj(), Wb)
+                Wb = Wb - jnp.einsum("km,k...->m...", Cr, Vact)
             return Wb, key
 
         Wb, key = jax.lax.cond(is_brk, refresh, lambda a: a, (Wb, key))
         X1, Bm = svqb(Wb)
         X2, Bm2 = svqb(X1)  # SVQB^2: orthonormal to machine precision
         Bmat = Bm @ Bm2
-        V = jax.lax.dynamic_update_slice_in_dim(V, X2, (p + 1) * b, axis=0)
+        V = V.at[m: m + b].set(X2)
         # H block column: projection coeffs + sub-block coupling
         col = jnp.zeros((ncv + b, b), dtype=H.dtype)
-        col = col + C * mask[:, None].astype(H.dtype)
-        col = jax.lax.dynamic_update_slice(col, Bmat, ((p + 1) * b, 0))
-        H = jax.lax.dynamic_update_slice(H, col, (0, p * b))
+        col = col.at[:m].set(C)
+        col = col.at[m: m + b].set(Bmat)
+        H = H.at[:, p * b: m].set(col)
         return V, H, key
 
-    V, H, key = jax.lax.fori_loop(jb0, nb, body, (V, H, key))
+    # static unroll with a cond-skip below the traced restart fill level:
+    # skipped steps execute the identity branch only (no basis traffic)
+    for p in range(nb):
+        V, H, key = jax.lax.cond(
+            p >= jb0,
+            lambda VHk, p=p: step(p, *VHk),
+            lambda VHk: VHk,
+            (V, H, key))
 
     # ---- projected solve ----
     S = H[:ncv, :ncv]
@@ -546,6 +566,21 @@ def ks_hep_solve(eps, op, which: str, Bip=None) -> bool:
             n = padded.n_pad
     from ..mat.linop import AIJOperator
 
+    if (padded is None and isinstance(op, AIJOperator)
+            and mesh is not None and mesh.shape.get(ROWS, 1) > 1
+            and (jax.default_backend() != "tpu"
+                 or dtype == np.dtype(np.float32))
+            and op.shape[0] >= 4096):
+        # multi-device general sparsity: hybrid ELL under shard_map with
+        # ppermute boundary-row halo (parallel/halo_pallas.py)
+        from ..parallel.halo_pallas import ShardedGELLPaddedOperator
+
+        try:
+            padded = ShardedGELLPaddedOperator.from_aij(op, mesh)
+            op = padded
+            n = padded.n_pad
+        except (ValueError, AssertionError):
+            padded = None
     if (padded is None and isinstance(op, AIJOperator)
             and (jax.default_backend() != "tpu"
                  or dtype == np.dtype(np.float32))

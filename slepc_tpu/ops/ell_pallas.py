@@ -49,7 +49,8 @@ from .dia_pallas import _interp
 WL = 128  # lane width of the gather view (the tpu.dynamic_gather vreg width)
 
 
-def pack_hyb(A, block_rows: int = 256, dia_frac: float = 0.4):
+def pack_hyb(A, block_rows: int = 256, dia_frac: float = 0.4,
+             nblk: int = None):
     """Host-side packing: CSR -> (diagonal slots, gather slots).
 
     Returns (qr_slots, dd, dslots, idx, data, n):
@@ -66,7 +67,8 @@ def pack_hyb(A, block_rows: int = 256, dia_frac: float = 0.4):
     n = A.shape[0]
     assert A.shape[0] == A.shape[1], "hybrid ELL packs square operators"
     Rb = block_rows
-    nblk = -(-n // (Rb * WL))
+    if nblk is None:
+        nblk = -(-n // (Rb * WL))
     R = nblk * Rb
 
     rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(A.indptr))

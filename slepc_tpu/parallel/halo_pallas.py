@@ -215,3 +215,197 @@ def _tree_unflatten(aux, children):
 
 jax.tree_util.register_pytree_node(ShardedDIAPaddedOperator, _tree_flatten,
                                    _tree_unflatten)
+
+
+# ---------------------------------------------------------------------------
+# Sharded general-sparsity SpMV: the hybrid diagonal/gather ELL kernel
+# (ops/ell_pallas.py) under shard_map — the multi-device AIJ fast path
+# (reference MPIAIJ MatMult + VecScatter, SURVEY §2.13-1).  Same seam as
+# the DIA wrapper: stacked local padded slabs, ppermute of the boundary
+# view-rows into the neighbor's halo block.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("qr_slots", "dslots", "nloc",
+                                   "block_rows", "mesh"))
+def hyb_spmv_padded_sharded(qr_slots, dslots, dd, idx, data, xp, *,
+                            nloc: int, block_rows: int, mesh: Mesh):
+    from ..ops.ell_pallas import WL, hyb_spmv_padded
+
+    k = mesh.shape[ROWS]
+    Rb = block_rows
+    nblk = -(-nloc // (Rb * WL))
+    # halo reach in view rows (diagonal slots may wrap one extra row)
+    gt = max([-q for q, _ in qr_slots] + [-d for d in dslots] + [0])
+    gb = max([q + 1 for q, _ in qr_slots] + [d for d in dslots] + [0])
+    gt = max(8, -(-gt // 8) * 8)
+    gb = max(8, -(-gb // 8) * 8)
+
+    def local(dd_loc, idx_loc, data_loc, xp_loc):
+        if k > 1:
+            top_src = jax.lax.slice_in_dim(
+                xp_loc, (nblk + 1) * Rb - gt, (nblk + 1) * Rb, axis=0)
+            bot_src = jax.lax.slice_in_dim(xp_loc, Rb, Rb + gb, axis=0)
+            from_left = jax.lax.ppermute(
+                top_src, ROWS, [(i, i + 1) for i in range(k - 1)])
+            from_right = jax.lax.ppermute(
+                bot_src, ROWS, [(i + 1, i) for i in range(k - 1)])
+            xp_loc = jax.lax.dynamic_update_slice_in_dim(
+                xp_loc, from_left, Rb - gt, axis=0)
+            xp_loc = jax.lax.dynamic_update_slice_in_dim(
+                xp_loc, from_right, (nblk + 1) * Rb, axis=0)
+        return hyb_spmv_padded(qr_slots, dslots, dd_loc, idx_loc,
+                               data_loc, xp_loc, nloc, Rb)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, ROWS, None), P(None, ROWS, None),
+                  P(None, ROWS, None), P(ROWS, None)),
+        out_specs=P(ROWS, None), check_vma=False)(dd, idx, data, xp)
+
+
+class ShardedGELLPaddedOperator:
+    """Hybrid-ELL operator on a row mesh (stacked local padded slabs);
+    same contract as ShardedDIAPaddedOperator."""
+
+    def __init__(self, qr_slots, dd, dslots, idx, data, n, nnz, mesh,
+                 block_rows=128, mask=None):
+        from ..ops.ell_pallas import WL
+
+        self.qr_slots = tuple((int(q), int(r)) for q, r in qr_slots)
+        self.dslots = tuple(int(d) for d in dslots)
+        self.dd, self.idx, self.data = dd, idx, data
+        self.n_interior = int(n)
+        self._nnz = int(nnz)
+        self.mesh = mesh
+        self.block_rows = block_rows
+        k = mesh.shape[ROWS]
+        Rb = block_rows
+        B = Rb * WL
+        self.nblk_loc = -(-self.n_interior // (k * B))
+        self.nloc = self.nblk_loc * B
+        self.n_pad = k * (self.nblk_loc + 2) * Rb * WL
+        self.shape = (self.n_pad, self.n_pad)
+        self.dtype = data.dtype if data.size else dd.dtype
+        self._lanes = WL
+        self.mask = mask if mask is not None else self._make_mask()
+
+    @classmethod
+    def from_scipy(cls, A, mesh: Optional[Mesh] = None,
+                   block_rows: int = 128, dia_frac: float = 0.4):
+        import scipy.sparse as sp
+
+        from ..ops.ell_pallas import WL, hyb_supported, pack_hyb
+        from ..sys.mesh import get_mesh
+
+        mesh = mesh if mesh is not None else get_mesh()
+        if mesh is None:
+            raise ValueError("ShardedGELLPaddedOperator needs a row mesh")
+        A = sp.csr_matrix(A)
+        n = A.shape[0]
+        k = mesh.shape[ROWS]
+        Rb = block_rows
+        nblk_loc = -(-n // (k * Rb * WL))
+        qr_slots, dd, dslots, idx, data, _ = pack_hyb(
+            A, Rb, dia_frac, nblk=k * nblk_loc)
+        if not hyb_supported(qr_slots, dslots, Rb):
+            raise ValueError("sparsity outside the hybrid-ELL kernel limits")
+        # reach must stay within one neighbor's interior
+        gmax = max([abs(q) + 1 for q, _ in qr_slots]
+                   + [abs(d) for d in dslots] + [0])
+        if gmax > min(Rb, nblk_loc * Rb):
+            raise ValueError("off-diagonal reach exceeds one halo block")
+        spec = NamedSharding(mesh, P(None, ROWS, None))
+        return cls(qr_slots, jax.device_put(jnp.asarray(dd), spec), dslots,
+                   jax.device_put(jnp.asarray(idx), spec),
+                   jax.device_put(jnp.asarray(data), spec),
+                   n, A.nnz, mesh, Rb)
+
+    @classmethod
+    def from_aij(cls, A, mesh=None, block_rows: int = 128):
+        return cls.from_scipy(A.to_scipy(), mesh, block_rows)
+
+    def _row_sharding(self):
+        return NamedSharding(self.mesh, P(ROWS, None))
+
+    def _make_mask(self):
+        k = self.mesh.shape[ROWS]
+        Rb = self.block_rows
+        nblk = self.nblk_loc
+        WL = self._lanes
+        m = np.zeros((k, (nblk + 2) * Rb * WL), dtype=self.dtype)
+        flat = np.zeros(k * self.nloc, dtype=self.dtype)
+        flat[: self.n_interior] = 1.0
+        m[:, Rb * WL: (nblk + 1) * Rb * WL] = flat.reshape(k, self.nloc)
+        m = m.reshape(k * (nblk + 2) * Rb, WL)
+        return jax.device_put(jnp.asarray(m), self._row_sharding())
+
+    @property
+    def nnz(self):
+        return self._nnz
+
+    @property
+    def mask2d(self):
+        return self.mask
+
+    def pad2d(self, x):
+        k = self.mesh.shape[ROWS]
+        Rb = self.block_rows
+        WL = self._lanes
+        nblk = self.nblk_loc
+        xh = np.zeros(k * self.nloc, dtype=self.dtype)
+        xh[: self.n_interior] = np.asarray(x)
+        slabs = np.zeros((k, (nblk + 2) * Rb * WL), dtype=self.dtype)
+        slabs[:, Rb * WL: (nblk + 1) * Rb * WL] = xh.reshape(k, self.nloc)
+        xp = slabs.reshape(k * (nblk + 2) * Rb, WL)
+        return jax.device_put(jnp.asarray(xp), self._row_sharding())
+
+    def pad(self, x):
+        return self.pad2d(x).reshape(-1)
+
+    def unpad(self, xp):
+        k = self.mesh.shape[ROWS]
+        Rb = self.block_rows
+        WL = self._lanes
+        nblk = self.nblk_loc
+        a = np.asarray(xp).reshape(k, (nblk + 2) * Rb * WL)
+        return a[:, Rb * WL: (nblk + 1) * Rb * WL].reshape(-1)[: self.n_interior]
+
+    def mult2d(self, xp):
+        return hyb_spmv_padded_sharded(
+            self.qr_slots, self.dslots, self.dd, self.idx, self.data, xp,
+            nloc=self.nloc, block_rows=self.block_rows, mesh=self.mesh)
+
+    def mult(self, x):
+        return self.mult2d(x.reshape(-1, self._lanes)).reshape(-1)
+
+    mult_h = mult  # HEP fast path
+
+
+def _gell_tree_flatten(op):
+    return (op.dd, op.idx, op.data, op.mask), \
+        (op.qr_slots, op.dslots, op.n_interior, op._nnz, op.mesh,
+         op.block_rows)
+
+
+def _gell_tree_unflatten(aux, children):
+    from ..ops.ell_pallas import WL
+
+    obj = object.__new__(ShardedGELLPaddedOperator)
+    obj.dd, obj.idx, obj.data, obj.mask = children
+    (obj.qr_slots, obj.dslots, obj.n_interior, obj._nnz, obj.mesh,
+     obj.block_rows) = aux
+    k = obj.mesh.shape[ROWS]
+    Rb = obj.block_rows
+    B = Rb * WL
+    obj.nblk_loc = -(-obj.n_interior // (k * B))
+    obj.nloc = obj.nblk_loc * B
+    obj.n_pad = k * (obj.nblk_loc + 2) * Rb * WL
+    obj.shape = (obj.n_pad, obj.n_pad)
+    obj.dtype = obj.data.dtype if obj.data.size else obj.dd.dtype
+    obj._lanes = WL
+    return obj
+
+
+jax.tree_util.register_pytree_node(ShardedGELLPaddedOperator,
+                                   _gell_tree_flatten, _gell_tree_unflatten)
