@@ -134,9 +134,62 @@ class EPS:
         for w in Which:
             if f"{w.value}" == o.get("which"):
                 self.which = w
+            if o.get(w.value, False) is True:  # -eps_largest_real style
+                self.which = w
         for pt in ProblemType:
             if o.get(pt.value, False) is True:
                 self.problem_type = pt
+        # ---- the broader -eps_* surface (reference epsopts.c) ----
+        if "interval" in o:  # -eps_interval a,b
+            iv = o["interval"]
+            if isinstance(iv, str):
+                a, b = (float(t) for t in iv.split(","))
+            else:
+                a, b = iv
+            self.set_interval(a, b)
+        for ct in ("rel", "abs", "norm"):
+            if o.get(f"conv_{ct}", False) is True:
+                self.conv_test = ct
+        if "conv_test" in o:
+            self.conv_test = str(o["conv_test"])
+        if o.get("true_residual", False) is True:
+            self.true_residual = True
+        if o.get("harmonic", False) is True or o.get("extraction") == "harmonic":
+            self.extraction = "harmonic"
+        if "balance" in o:
+            self.balance = (o["balance"] if isinstance(o["balance"], str)
+                            else "krylov")
+        if "purify" in o:
+            self.purify = bool(o["purify"])
+        if o.get("two_sided", False) is True:
+            self.two_sided = True
+        if "lanczos_reorthog" in o:
+            self.set_reorthogonalization(str(o["lanczos_reorthog"]))
+        if "block_size" in o:
+            self.block_size = int(o["block_size"])
+        if "partitions" in o:  # -eps_krylovschur_partitions analog
+            self.slice_npart = int(o["partitions"])
+        if "gd_blocksize" in o or "jd_blocksize" in o:
+            self.davidson_bs = int(o.get("gd_blocksize",
+                                         o.get("jd_blocksize", 1)))
+        if "jd_fix" in o:
+            self.jd_fix = float(o["jd_fix"])
+        # monitors (reference -eps_monitor / _all / _conv, epsmon.c)
+        from ..sys.monitor import ConvMonitor, monitor_all, monitor_first
+
+        if o.get("monitor", False) is True:
+            self.monitor.add(monitor_first)
+        if o.get("monitor_all", False) is True:
+            self.monitor.add(monitor_all)
+        if o.get("monitor_conv", False) is True:
+            self.monitor.add(ConvMonitor())
+        # post-solve viewers (reference -eps_view / -eps_converged_reason /
+        # -eps_error_relative, epssolve.c:97-113)
+        self._view_on_solve = o.get("view", False) is True
+        self._error_view_on_solve = (
+            o.get("error_relative", False) is True
+            or o.get("error_absolute", False) is True)
+        self._reason_view_on_solve = o.get("converged_reason", False) is True
 
     def set_operators(self, A: LinearOperator, B: Optional[LinearOperator] = None):
         self.A = A
@@ -425,6 +478,14 @@ class EPS:
             self._eigenvectors = self._eigenvectors[:, perm]
             if self._left_eigenvectors is not None:
                 self._left_eigenvectors = self._left_eigenvectors[:, perm]
+        if getattr(self, "_reason_view_on_solve", False):
+            verb = ("CONVERGED" if self.reason.value > 0 else "DIVERGED")
+            print(f"EPS solve {verb}: {self.nconv} eigenpairs, reason "
+                  f"{self.reason.name}, iterations {self.its}")
+        if getattr(self, "_view_on_solve", False):
+            self.view()
+        if getattr(self, "_error_view_on_solve", False):
+            self.error_view()
         return self
 
     def _solve_left(self, solver_cls):

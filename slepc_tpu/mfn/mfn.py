@@ -48,6 +48,10 @@ class MFN:
         self.solver = solver
         self.its = 0
         self.reason = MFNConvergedReason.ITERATING
+        from ..sys.options import apply_module_options
+
+        apply_module_options(self, "mfn_", int_keys=("ncv", "max_it"),
+                             float_keys=("tol",), str_keys=("type",))
 
     def set_operator(self, A: LinearOperator):
         self.A = A
@@ -100,6 +104,10 @@ class MFN:
         tau = T  # try one step first; adapt down on error
         self.its = 0
         self.reason = MFNConvergedReason.ITERATING
+        from ..sys.options import apply_module_options
+
+        apply_module_options(self, "mfn_", int_keys=("ncv", "max_it"),
+                             float_keys=("tol",), str_keys=("type",))
         while t_done < abs(T) * (1 - 1e-14):
             self.its += 1
             if self.its > self.max_it:
@@ -157,6 +165,10 @@ class MFN:
         beta_prev = 0.0
         self.its = 0
         self.reason = MFNConvergedReason.ITERATING
+        from ..sys.options import apply_module_options
+
+        apply_module_options(self, "mfn_", int_keys=("ncv", "max_it"),
+                             float_keys=("tol",), str_keys=("type",))
 
         for restart in range(self.max_it):
             self.its += 1

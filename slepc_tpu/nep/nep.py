@@ -47,6 +47,11 @@ class NEP:
         self.nconv = 0
         self.its = 0
         self.two_sided = False
+        from ..sys.options import apply_module_options
+
+        apply_module_options(self, "nep_", int_keys=("nev", "max_it"),
+                             float_keys=("tol",), str_keys=("type",),
+                             bool_keys=("two_sided",))
         self.eigenvalues = np.array([], dtype=complex)
         self.errests = np.array([])
         self._eigenvectors: Optional[np.ndarray] = None

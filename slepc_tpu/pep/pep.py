@@ -52,6 +52,11 @@ class PEP:
         self.eigenvalues = np.array([])
         self.errests = np.array([])
         self._eigenvectors: Optional[np.ndarray] = None
+        from ..sys.options import apply_module_options
+
+        apply_module_options(self, "pep_", int_keys=("nev", "ncv", "max_it"),
+                             float_keys=("tol",),
+                             str_keys=("type", "basis", "scale"))
 
     def set_operators(self, mats: Sequence[LinearOperator]):
         self.mats = list(mats)

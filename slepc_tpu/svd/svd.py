@@ -55,6 +55,10 @@ class SVD:
         self.sigma = np.array([])
         self.U: Optional[np.ndarray] = None
         self.V: Optional[np.ndarray] = None
+        from ..sys.options import apply_module_options
+
+        apply_module_options(self, "svd_", int_keys=("nsv", "ncv", "max_it"),
+                             float_keys=("tol",), str_keys=("type",))
 
     def set_operator(self, A, B=None):
         self.A = A

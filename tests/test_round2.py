@@ -289,3 +289,51 @@ def test_halo_block_mult_single_exchange():
         assert hlo.count("all-gather") == 0
     finally:
         meshmod.set_mesh(None)
+
+
+def test_cli_driven_golden(capsys):
+    """A solve driven entirely by a PETSc-style CLI string reproduces the
+    golden output (reference tutorial-binary pattern, epsopts.c role)."""
+    import sys as _sys
+
+    _sys.path.insert(0, "examples")
+    import ex_cli
+
+    try:
+        eps = ex_cli.main(["-n", "30", "-m", "29", "-eps_nev", "4",
+                           "-eps_smallest_real", "-eps_tol", "1e-10",
+                           "-eps_converged_reason", "-eps_error_relative"])
+        out = capsys.readouterr().out
+        assert eps.nconv >= 4
+        # golden eigenvalues of the 30x29 Laplacian (closed form)
+        for s in ("0.0212175", "0.0518963", "0.0539661", "0.0846449"):
+            assert s in out, s
+        assert "CONVERGED_TOL" in out
+        # sinvert via -st_type
+        eps2 = ex_cli.main(["-n", "24", "-m", "23", "-eps_nev", "3",
+                            "-eps_target", "0.5", "-st_type", "sinvert"])
+        assert eps2.nconv >= 3
+    finally:
+        import slepc_tpu as st
+
+        st.set_global_options({})
+
+
+def test_module_options_surface():
+    """-svd_*/-pep_*/-mfn_* flags reach the module objects."""
+    import slepc_tpu as st
+
+    try:
+        st.set_global_options(
+            "-svd_nsv 3 -svd_type cross -pep_nev 5 -pep_type toar "
+            "-mfn_ncv 17 -nep_nev 2")
+        svd = st.SVD(st.laplacian_1d(32))
+        assert svd.nsv == 3 and svd.solver == "cross"
+        pep = st.PEP()
+        assert pep.nev == 5 and pep.solver == "toar"
+        mfn = st.MFN(st.laplacian_1d(32))
+        assert mfn.ncv == 17
+        nep = st.NEP()
+        assert nep.nev == 2
+    finally:
+        st.set_global_options({})
