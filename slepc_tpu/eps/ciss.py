@@ -86,9 +86,41 @@ class CISS(EPSSolver):
             if mode == "batched":
                 from ..parallel.tasks import batched_shifted_solves
 
+                tol_in = max(eps.tol * 1e-2, 1e-12)
                 Yall = np.asarray(batched_shifted_solves(
-                    A, B, z, BV, tol=max(eps.tol * 1e-2, 1e-12),
+                    A, B, z, BV, tol=tol_in,
                     mesh=getattr(eps, "ciss_task_mesh", None)))
+                # stall detection: iterative point solves near an
+                # eigenvalue of the pencil are ill-conditioned and may
+                # return garbage at the fixed tolerance; verify each
+                # point's relative residual and re-solve offenders with
+                # an exact host factorization (the reference's per-point
+                # KSP is direct by default, ciss.c:283-316)
+                nrm_bv = max(np.linalg.norm(BV), 1e-300)
+                point_res = np.empty(npt)
+                for j in range(npt):
+                    Rj = (z[j] * (Bs @ Yall[j] if Bs is not None
+                                  else Yall[j])
+                          - As @ Yall[j]) - BV
+                    point_res[j] = np.linalg.norm(Rj) / nrm_bv
+                eps.ciss_point_residuals = point_res
+                bad = np.flatnonzero(point_res > 1e3 * tol_in)
+                if bad.size:
+                    import scipy.sparse.linalg as spla
+
+                    for j in bad:
+                        if sparse:
+                            Mz = (z[j] * (Bs if Bs is not None
+                                          else sp.eye(n, format="csr"))
+                                  - As).tocsc()
+                            Yall[j] = spla.splu(Mz.astype(complex)).solve(
+                                BV.astype(complex))
+                        else:
+                            Mz = z[j] * (np.asarray(Bs) if Bs is not None
+                                         else np.eye(n)) - np.asarray(As)
+                            Yall[j] = np.linalg.solve(Mz.astype(complex),
+                                                      BV.astype(complex))
+                    eps.ciss_refactored_points = bad.tolist()
                 zk_pow = np.power.outer(z, np.arange(M)) * w[:, None]
                 # S_k = sum_j w_j z_j^k Y_j
                 S = np.concatenate(
