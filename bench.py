@@ -22,7 +22,7 @@ Methodology:
 import json
 import sys
 import time
-from functools import partial
+
 
 import numpy as np
 
@@ -202,37 +202,40 @@ def main():
     Vb = jnp.zeros((ncv_b + 1,) + v0b.shape, dtype=dtype).at[0].set(
         jnp.asarray(v0b))
 
-    _log("compiling ks cycle (full CGS2)...")
-    cyc = partial(ks_hep_cycle, op_b, ncv=ncv_b, which="smallest")
-    outc = cyc(Vb, Hb, jnp.asarray(0), 1e-5, keyb)
-    jax.block_until_ready(outc)
-    bestc = 1e9
-    for _ in range(3):
+    def _chain_cycles(f, V, H, ncycles=4):
+        """Chained restart cycles: every timed call has DIFFERENT inputs
+        (the relay replays constant-input repeats from cache) and the
+        steady-state extension size ncv-kl ~ ncv/2 matches production."""
+        o = f(V, H, jnp.asarray(0))
+        jax.block_until_ready(o)
+        st = (o[0], o[1], o[2])
         t0 = time.perf_counter()
-        outc = cyc(Vb, Hb, jnp.asarray(0), 1e-5, keyb)
-        jax.block_until_ready(outc)
-        bestc = min(bestc, time.perf_counter() - t0)
-    out["ks_cycle_ms"] = bestc * 1e3
-    out["ks_cycle_per_column_ms"] = bestc / ncv_b * 1e3
+        for _ in range(ncycles):
+            o = f(st[0], st[1], st[2])
+            st = (o[0], o[1], o[2])
+        jax.block_until_ready(o)
+        return (time.perf_counter() - t0) / ncycles
+
+    cols = ncv_b // 2  # steady-state new columns per chained cycle
+
+    _log("compiling ks cycle (full CGS2)...")
+    dtc = _chain_cycles(
+        lambda V, H, j: ks_hep_cycle(op_b, V, H, j, 1e-5, keyb, ncv=ncv_b,
+                                     which="smallest"), Vb, Hb)
+    out["ks_cycle_ms"] = dtc * 1e3
+    out["ks_cycle_per_column_ms"] = dtc / cols * 1e3
 
     _log("compiling ks cycle (partial/omega reorth)...")
-    cycp = partial(ks_hep_cycle, op_b, ncv=ncv_b, which="smallest",
-                   reorth="partial")
-    outp = cycp(Vb, Hb, jnp.asarray(0), 1e-5, keyb)
-    jax.block_until_ready(outp)
-    bestp = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        outp = cycp(Vb, Hb, jnp.asarray(0), 1e-5, keyb)
-        jax.block_until_ready(outp)
-        bestp = min(bestp, time.perf_counter() - t0)
-    out["ks_cycle_partial_per_column_ms"] = bestp / ncv_b * 1e3
+    dtp = _chain_cycles(
+        lambda V, H, j: ks_hep_cycle(op_b, V, H, j, 1e-5, keyb, ncv=ncv_b,
+                                     which="smallest", reorth="partial"),
+        Vb, Hb)
+    out["ks_cycle_partial_per_column_ms"] = dtp / cols * 1e3
 
     _log("compiling blocked ks cycle (b=8)...")
     bsz = 8
     Vblk = jnp.zeros((ncv_b + bsz,) + v0b.shape, dtype=dtype)
-    Vblk = Vblk.at[0].set(jnp.asarray(v0b))
-    # orthonormal random block rows 1..bsz (host QR on the flats)
+    # orthonormal random block rows (host QR on the flats)
     rngb = np.random.default_rng(1)
     Mb = rngb.standard_normal((int(np.prod(v0b.shape)), bsz)).astype(dtype)
     Mb[:, 0] = np.asarray(v0b).ravel()
@@ -240,17 +243,11 @@ def main():
     for i in range(bsz):
         Vblk = Vblk.at[i].set(jnp.asarray(Qb[:, i].reshape(v0b.shape)))
     Hblk = jnp.zeros((ncv_b + bsz, ncv_b), dtype=dtype)
-    cycb = partial(ks_hep_cycle_blocked, op_b, ncv=ncv_b, b=bsz,
-                   which="smallest")
-    outb = cycb(Vblk, Hblk, jnp.asarray(0), 1e-5, keyb)
-    jax.block_until_ready(outb)
-    bestb = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        outb = cycb(Vblk, Hblk, jnp.asarray(0), 1e-5, keyb)
-        jax.block_until_ready(outb)
-        bestb = min(bestb, time.perf_counter() - t0)
-    out["ks_cycle_blocked_per_column_ms"] = bestb / ncv_b * 1e3
+    dtb = _chain_cycles(
+        lambda V, H, j: ks_hep_cycle_blocked(op_b, V, H, j, 1e-5, keyb,
+                                             ncv=ncv_b, b=bsz,
+                                             which="smallest"), Vblk, Hblk)
+    out["ks_cycle_blocked_per_column_ms"] = dtb / cols * 1e3
 
     # ---- second SpMV pass (window hedge) ----
     dt2 = _timeit(spmv_loop, x, ITERS)

@@ -313,8 +313,11 @@ class EPS:
         'full' (CGS2 every column, default), 'partial' (Simon omega-
         recurrence drift monitor — local 3-term orth, full sweep only when
         the estimate crosses sqrt(eps); large bandwidth win at scale),
-        'periodic' (every `period` columns; EXPERIMENTAL, no monitor),
-        'selective' (local 3-term + converged Ritz rows, Parlett-Scott),
+        'periodic' (every `period` columns — explicit Lanczos runs it
+        as-is; the Krylov-Schur fast path substitutes the monitored
+        'partial' mode, an unmonitored period loses orthogonality over
+        many restarts), 'selective' (Parlett-Scott formed-Ritz-vector
+        orthogonalization, explicit Lanczos), 'local' (bare 3-term),
         'delayed' (reference latency-hiding variant — subsumed by the
         fused-reduction jitted cycle; maps to 'full')."""
         assert kind in ("full", "partial", "periodic", "selective",

@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.jacobi_eigh import eigh_small
+
 
 @partial(jax.jit, static_argnames=("ncv", "which", "passes", "reorth_period",
                                    "reorth", "nsel"))
@@ -326,7 +328,7 @@ def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
     # ---- projected solve: full ncv x ncv eigh (replicated) ----
     S = H[:ncv, :ncv]
     S = 0.5 * (S + S.conj().T)
-    theta, Q = jnp.linalg.eigh(S)  # ascending
+    theta, Q = eigh_small(S)  # ascending
     if which == "largest":
         theta, Q = theta[::-1], Q[:, ::-1]
     elif which == "largest_magnitude":
@@ -407,7 +409,7 @@ def ks_hep_cycle_blocked(op, V, H, jb0, tol, key, ncv: int, b: int,
         Wb = Bmat @ X and X row-orthonormal (clamped SVQB)."""
         S = jnp.einsum("i...,j...->ij", Wb.conj(), Wb)
         S = 0.5 * (S + S.conj().T)
-        lam, U = jnp.linalg.eigh(S)
+        lam, U = eigh_small(S)
         lam_max = jnp.maximum(lam[-1], eps_mach)
         lam_c = jnp.maximum(lam, eps_mach ** 2 * lam_max)
         inv_half = (U * (lam_c ** -0.5)[None, :]) @ U.conj().T
@@ -442,7 +444,7 @@ def ks_hep_cycle_blocked(op, V, H, jb0, tol, key, ncv: int, b: int,
         # soft breakdown: near-rank-deficient block -> mix in fresh
         # random directions, re-orthogonalize (rare; behind a cond)
         S = jnp.einsum("i...,j...->ij", Wb.conj(), Wb)
-        lam_min = jnp.linalg.eigvalsh(0.5 * (S + S.conj().T))[0]
+        lam_min = eigh_small(0.5 * (S + S.conj().T))[0][0]
         scale = jnp.maximum(jnp.linalg.norm(C), 1.0)
         is_brk = lam_min.real < (eps_mach * scale) ** 2
 
@@ -482,7 +484,7 @@ def ks_hep_cycle_blocked(op, V, H, jb0, tol, key, ncv: int, b: int,
     # ---- projected solve ----
     S = H[:ncv, :ncv]
     S = 0.5 * (S + S.conj().T)
-    theta, Q = jnp.linalg.eigh(S)
+    theta, Q = eigh_small(S)
     if which == "largest":
         theta, Q = theta[::-1], Q[:, ::-1]
     elif which == "largest_magnitude":
@@ -659,10 +661,13 @@ def ks_hep_solve(eps, op, which: str, Bip=None) -> bool:
                 rmode = getattr(eps, "reorth", "full")
                 if rmode == "delayed":  # latency motive subsumed by the
                     rmode = "full"      # fused-reduction jitted cycle
-                if rmode == "selective":
-                    # Parlett-Scott selective belongs to the explicit
-                    # Lanczos solver (eps/explicit.py); KS's safe light
-                    # policy is the omega-monitored partial mode
+                if rmode in ("selective", "periodic"):
+                    # Parlett-Scott selective and unmonitored periodic
+                    # belong to the explicit Lanczos solver
+                    # (eps/explicit.py); KS's safe light policy is the
+                    # omega-monitored partial mode (a fixed period with
+                    # no drift monitor loses orthogonality over many
+                    # restarts — round-1 finding)
                     rmode = "partial"
                 V, H, j0, k2j, theta, errest, beta = ks_hep_cycle(
                     op, V, H, j0, eps.tol, key, ncv=ncv, which=which,

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.jacobi_eigh import eigh_small
 from ..st.st import STPrecond
 from .base import EPS, EPSSolver
 
@@ -44,7 +45,7 @@ def lobpcg_cycle(op, X, P, bs: int, k_iters: int, largest: bool):
         the truncation a host loop would do.  Returns (Q, good_mask)."""
         G = S.conj().T @ S
         G = 0.5 * (G + G.conj().T)
-        lam, U = jnp.linalg.eigh(G)
+        lam, U = eigh_small(G)
         good = lam > eps_mach * jnp.maximum(lam[-1], eps_mach)
         lam_c = jnp.where(good, lam, 1.0)
         T = (U * (good * lam_c ** -0.5)[None, :]).astype(S.dtype)
@@ -65,7 +66,7 @@ def lobpcg_cycle(op, X, P, bs: int, k_iters: int, largest: bool):
         Gs = 0.5 * (Gs + Gs.conj().T)
         pen = jnp.concatenate([jnp.zeros(bs, rdtype), 1.0 - gw, 1.0 - gp])
         M = sgn * Gs + jnp.diag(pen * penalty).astype(Gs.dtype)
-        w, C = jnp.linalg.eigh(M)
+        w, C = eigh_small(M)
         C = C[:, :bs].astype(X.dtype)
         Xn = S @ C
         Pn = S @ C.at[:bs, :].set(0.0)
@@ -78,7 +79,7 @@ def lobpcg_cycle(op, X, P, bs: int, k_iters: int, largest: bool):
     AX = op.mult(X)
     G = X.conj().T @ AX
     G = 0.5 * (G + G.conj().T)
-    w, C = jnp.linalg.eigh(sgn * G)
+    w, C = eigh_small(sgn * G)
     theta = sgn * w
     C = C.astype(X.dtype)
     X = X @ C

@@ -9,8 +9,12 @@ the whole vector unless the halo exchange is written explicitly
 PETSc src/mat/impls/aij/mpi/mmaij.c).
 """
 
-from .halo import HaloDIAOperator, dia_spmv_halo
+from .halo import HaloDIAOperator, dia_spmm_halo, dia_spmv_halo
+from .halo_pallas import (ShardedDIAPaddedOperator, ShardedGELLPaddedOperator,
+                          dia_spmv_padded_sharded, hyb_spmv_padded_sharded)
 from .tasks import batched_shifted_solves, make_task_mesh, thread_map
 
-__all__ = ["dia_spmv_halo", "HaloDIAOperator", "batched_shifted_solves",
-           "make_task_mesh", "thread_map"]
+__all__ = ["dia_spmv_halo", "dia_spmm_halo", "HaloDIAOperator",
+           "ShardedDIAPaddedOperator", "ShardedGELLPaddedOperator",
+           "dia_spmv_padded_sharded", "hyb_spmv_padded_sharded",
+           "batched_shifted_solves", "make_task_mesh", "thread_map"]

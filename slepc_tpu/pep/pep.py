@@ -282,6 +282,15 @@ class PEP:
         self.rg = rg
         return self
 
+    def set_extraction(self, kind: str):
+        """Eigenvector extraction from the linearization's stacked blocks
+        (reference PEPSetExtraction, slepcpep.h PEPExtract): 'none' (first
+        block), 'norm' (largest block), 'residual' (block with smallest
+        true residual), 'structured' (mu-weighted average)."""
+        assert kind in ("none", "norm", "residual", "structured")
+        self.extract = kind
+        return self
+
     def refine(self, steps: int = 3, scheme: str = "simple"):
         """Newton iterative refinement of converged pairs (reference:
         PEPSetRefine, interface/peprefine.c).  scheme='simple' refines

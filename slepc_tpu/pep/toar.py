@@ -273,9 +273,51 @@ def toar_solve(pep) -> None:
         wb, Y = np.linalg.eig(Tb)
         with np.errstate(divide="ignore", invalid="ignore"):
             lam_fin = sigma + 1.0 / wb
-        # big-space Ritz vectors: first block = U S^(0) y
-        S0 = S[0 * rmax: 0 * rmax + r, :k]
-        X = np.asarray(U[:, :r]) @ (S0 @ Y)
+        # big-space Ritz vectors from the tensor basis: the linearization
+        # eigenvector stacks d candidate blocks x_i = U S^(i) y with
+        # x_i ~ mu^i x_0; the EXTRACTION choice picks how to read x off
+        # them (reference PEPSetExtraction, pepkrylov.c PEPExtractVectors:
+        # NONE = first block, NORM = largest block, RESIDUAL = block with
+        # the smallest true residual, STRUCTURED = mu-weighted average)
+        Un = np.asarray(U[:, :r])
+        blocks = [Un @ (S[i * rmax: i * rmax + r, :k] @ Y)
+                  for i in range(d)]
+        extract = str(getattr(pep, "extract", "none") or "none").lower()
+        X = blocks[0].copy()
+        if extract in ("norm", "residual", "structured") and k:
+            mats_h = [m for m in mats]
+            for j in range(k):
+                mu_j = wb[j]
+                lam_j = sigma + (1.0 / mu_j if mu_j != 0 else np.inf)
+                cands = [blocks[i][:, j] for i in range(d)]
+                nrms = [np.linalg.norm(c) for c in cands]
+                if extract == "norm":
+                    X[:, j] = cands[int(np.argmax(nrms))]
+                elif extract == "residual":
+                    import jax.numpy as _jnp
+
+                    best, bres = 0, np.inf
+                    for i, c in enumerate(cands):
+                        if nrms[i] < 1e-14:
+                            continue
+                        cj = _jnp.asarray(c / nrms[i])
+                        rj = None
+                        lp = 1.0
+                        for mm in mats_h:
+                            t = np.asarray(mm.mult(cj)) * lp
+                            rj = t if rj is None else rj + t
+                            lp *= lam_j
+                        rn = np.linalg.norm(rj)
+                        if rn < bres:
+                            best, bres = i, rn
+                    X[:, j] = cands[best]
+                else:  # structured: weight block i by conj(mu^i)
+                    acc = np.zeros(n, dtype=complex)
+                    wgt = 1.0
+                    for i in range(d):
+                        acc += np.conj(wgt) * cands[i]
+                        wgt *= mu_j
+                    X[:, j] = acc
         nrm = np.linalg.norm(X, axis=0)
         nrm[nrm == 0] = 1
         X = X / nrm
