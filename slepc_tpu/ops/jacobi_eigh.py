@@ -97,14 +97,12 @@ def jacobi_eigh(S, sweeps: int | None = None):
 
 
 def use_jacobi(dtype, n: int) -> bool:
-    """Route small on-device eighs through Jacobi: real dtype, small n,
-    TPU backend (on CPU, LAPACK-backed eigh wins)."""
-    try:
-        if np.issubdtype(np.dtype(dtype), np.complexfloating):
-            return False
-        return n <= 128 and jax.default_backend() == "tpu"
-    except Exception:
-        return False
+    """Routing gate for eigh_small.  DISABLED: on-device measurement
+    shows XLA's eigh at 32x32 costs ~1.4 ms inside a fused cycle (not a
+    bottleneck), and the Mosaic lowering of this kernel's vector-index
+    scatter produces wrong rotations on the current TPU toolchain
+    (correct on CPU: 3e-14).  Kept for when either fact changes."""
+    return False
 
 
 def eigh_small(S):

@@ -157,7 +157,7 @@ class PEP:
     def _apply_diagonal_scaling(self):
         """Swap in the balanced coefficient matrices; remember Dr for
         eigenvector unscaling."""
-        from ..mat.linop import DiagonalOperator, aslinearoperator
+        from ..mat.linop import aslinearoperator
         import scipy.sparse as sp
 
         self.sfactor = max(self.compute_scale(), 1e-300) \
