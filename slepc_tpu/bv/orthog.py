@@ -208,7 +208,7 @@ def tsqr(X, mesh=None):
 def tsqr_shard_map(X, mesh):
     """Two-stage TSQR over the 'rows' mesh axis (see tsqr)."""
     import jax
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from ..sys.mesh import ROWS
@@ -227,7 +227,7 @@ def tsqr_shard_map(X, mesh):
     fn = shard_map(local, mesh=mesh,
                    in_specs=P(ROWS, None),
                    out_specs=(P(ROWS, None), P(None, None)),
-                   check_rep=False)
+                   check_vma=False)
     Q, R = fn(X)
     return Q, R
 

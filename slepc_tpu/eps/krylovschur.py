@@ -172,7 +172,19 @@ class KrylovSchur(EPSSolver):
             if hermitian and not indefinite:
                 Ssym = 0.5 * (S + S.conj().T)
                 with log_event("DS_Solve", flops=9.0 * S.shape[0] ** 3):
-                    theta, Q = np.linalg.eigh(Ssym)
+                    # compact fast path: thick-restart Lanczos leaves S
+                    # in arrow+tridiagonal form — plane-rotation arrow
+                    # reduction + steqr (reference DSArrowTridiag,
+                    # dshep.c:221-261) instead of a dense eigh
+                    from ..ds.compact import extract_compact, solve_arrow_hep
+
+                    dce = extract_compact(Ssym)
+                    if dce is not None:
+                        theta, Q = solve_arrow_hep(*dce)
+                        if np.iscomplexobj(Ssym):
+                            Q = Q.astype(Ssym.dtype)
+                    else:
+                        theta, Q = np.linalg.eigh(Ssym)
                 theta = theta.astype(complex)
                 Tproj = None
             elif indefinite:

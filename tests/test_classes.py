@@ -159,6 +159,44 @@ def test_ds_hep_nhep():
                                atol=1e-10)
 
 
+def test_ds_compact_arrow():
+    """Compact arrow+tridiagonal DSHEP storage (reference DSArrowTridiag,
+    dshep.c:221-261): plane-rotation reduction + steqr matches dense eigh
+    and the structure detector round-trips thick-restart matrices."""
+    from slepc_tpu.ds.compact import (arrow_expand, arrow_to_tridiag,
+                                      extract_compact, solve_arrow_hep,
+                                      solve_arrow_ghiep)
+
+    rng = np.random.default_rng(3)
+    for m, k in [(16, 7), (25, 12), (9, 0), (9, 1), (6, 5)]:
+        d = rng.standard_normal(m)
+        e = rng.standard_normal(m - 1)
+        T = arrow_expand(d, e, k)
+        a, b, Q0 = arrow_to_tridiag(d, e, k)
+        Ttri = np.diag(a) + np.diag(b, 1) + np.diag(b, -1)
+        np.testing.assert_allclose(Q0.T @ T @ Q0, Ttri, atol=1e-12)
+        w, Q = solve_arrow_hep(d, e, k)
+        np.testing.assert_allclose(np.sort(w), np.linalg.eigvalsh(T),
+                                   atol=1e-12)
+        np.testing.assert_allclose(T @ Q, Q * w[None, :], atol=1e-11)
+        # detector round-trip
+        got = extract_compact(T)
+        assert got is not None
+        np.testing.assert_allclose(arrow_expand(*got), T, atol=1e-13)
+    # detector rejects a dense matrix
+    D = rng.standard_normal((8, 8))
+    assert extract_compact(0.5 * (D + D.T)) is None
+    # GHIEP compact form: residual check in the indefinite metric
+    m, k = 12, 5
+    d = rng.standard_normal(m)
+    e = 0.1 * rng.standard_normal(m - 1)
+    om = np.where(rng.standard_normal(m) > 0, 1.0, -1.0)
+    T = arrow_expand(d, e, k)
+    w, X = solve_arrow_ghiep(d, e, om, k)
+    R = T @ X - (om[:, None] * X) * w[None, :]
+    assert np.abs(R).max() < 1e-9
+
+
 def test_ds_sort_schur_real_pairs():
     rng = np.random.default_rng(10)
     H = rng.standard_normal((10, 10))

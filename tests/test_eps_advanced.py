@@ -134,6 +134,30 @@ def test_bse_structure():
         assert np.linalg.norm(r) < 1e-6
 
 
+def test_bse_complex_structure():
+    """Complex definite BSE: structure-preserving M-metric solve
+    (reference: ks-bse.c Gruning variant role)."""
+    rng = np.random.default_rng(7)
+    n = 30
+    R = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    R = 0.5 * (R + R.conj().T) + 3.0 * n ** 0.5 * np.eye(n)
+    C = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    C = 0.5 * (C + C.T)  # complex symmetric
+    H = st.create_bse(st.DenseOperator(R), st.DenseOperator(C))
+    Hd = np.block([[R, C], [-C.conj(), -R.conj()]])
+    w = np.linalg.eigvals(Hd)
+    pos = np.sort(w.real[w.real > 1e-8])
+    eps = st.EPS(H, problem_type="bse", nev=4, tol=1e-9)
+    eps.solve()
+    assert eps.nconv >= 4
+    np.testing.assert_allclose(np.sort(eps.eigenvalues[:4].real), pos[:4],
+                               rtol=1e-7)
+    for i in range(4):
+        lam, z = eps.get_eigenpair(i)
+        assert np.imag(lam) == 0
+        assert np.linalg.norm(Hd @ z - lam * z) < 1e-6
+
+
 def test_krylov_balance():
     """Matrix-free Chen-Demmel balancing improves accuracy on badly
     scaled non-normal matrices (reference EPSSetBalance)."""
