@@ -16,9 +16,10 @@ logged as the named event ``Slice_Factorization`` (sys/events) so runs
 can audit the count.
 
 The reference also distributes subintervals over subcommunicators
-(npart); here partitions run concurrently on a thread pool (the inner
-solves are host-factorization-bound, so host threads are the right
-resource; device sub-meshes serve the CISS tier in parallel/tasks.py).
+(npart, ks-slice.c:341-416); here each partition is pinned to its own
+device sub-mesh (parallel/tasks.py slice_submeshes) so device work
+overlaps across partitions, while the host-factorization tier overlaps
+on a thread pool (factorization kernels release the GIL).
 """
 
 from __future__ import annotations
@@ -202,9 +203,13 @@ def slice_solve(eps: EPS) -> None:
         parts = [(bounds[i], bounds[i + 1], counts[i])
                  for i in range(npart) if counts[i] > 0]
 
-    from ..parallel.tasks import thread_map
+    from ..parallel.tasks import slice_submeshes, thread_map_submesh
 
-    results = thread_map(lambda p: _process_interval(eps, cache, *p), parts)
+    # each partition runs on its own device sub-mesh when several devices
+    # are visible (the reference's npart subcommunicators,
+    # ks-slice.c:341-416); host factorizations overlap on the thread pool
+    results = thread_map_submesh(lambda p: _process_interval(eps, cache, *p),
+                                 parts, meshes=slice_submeshes(len(parts)))
 
     found_lam: List[float] = []
     found_err: List[float] = []

@@ -101,6 +101,46 @@ def _op_diag(op, n: int):
     return jnp.zeros(n)
 
 
+def slice_submeshes(npart: int):
+    """Disjoint contiguous row sub-meshes for slicing partitions.
+
+    The reference replicates the matrices into npart subcommunicators and
+    runs one subinterval per subcomm (ks-slice.c:341-416,
+    EPSKrylovSchurSetPartitions).  Single-controller analog: split the
+    visible devices into npart contiguous groups, each a 1-D 'rows' Mesh;
+    every partition's device work (Krylov vector ops, iterative solves)
+    dispatches onto its own group and overlaps with the others.  Returns
+    None when fewer than 2 devices are visible (nothing to split).
+    """
+    devs = jax.devices()
+    if npart <= 1 or len(devs) < 2:
+        return None
+    from ..sys.mesh import ROWS
+
+    per = max(1, len(devs) // npart)
+    ngroups = min(npart, len(devs) // per)
+    return [Mesh(np.asarray(devs[i * per:(i + 1) * per]), (ROWS,))
+            for i in range(ngroups)]
+
+
+def thread_map_submesh(fn, items: Sequence, meshes=None,
+                       max_workers: Optional[int] = None):
+    """thread_map with each task pinned to a sub-mesh's lead device, so
+    concurrent partitions dispatch device work onto disjoint device
+    groups (the subcommunicator pattern).  meshes=None degrades to plain
+    thread_map."""
+    if not meshes:
+        return thread_map(fn, items, max_workers)
+
+    def run(ix_item):
+        ix, item = ix_item
+        dev = meshes[ix % len(meshes)].devices.flat[0]
+        with jax.default_device(dev):
+            return fn(item)
+
+    return thread_map(run, list(enumerate(items)), max_workers)
+
+
 def thread_map(fn, items: Sequence, max_workers: Optional[int] = None):
     """Run fn over items on a thread pool, preserving order — the host
     tier of subcommunicator task parallelism (factorizations release the

@@ -247,3 +247,24 @@ def test_sharded_pallas_ks_end_to_end(row_mesh):
     assert eps.nconv >= 4
     np.testing.assert_allclose(np.sort(eps.eigenvalues[:4].real), exact[:4],
                                rtol=1e-3)
+
+
+def test_slice_submeshes_disjoint():
+    """Slicing partition sub-meshes are disjoint contiguous device groups
+    (the subcommunicator analog, ks-slice.c:341-416)."""
+    from slepc_tpu.parallel.tasks import slice_submeshes, thread_map_submesh
+
+    meshes = slice_submeshes(4)
+    assert meshes is not None and len(meshes) == 4
+    seen = set()
+    for m in meshes:
+        ids = {d.id for d in m.devices.flat}
+        assert not (ids & seen)
+        seen |= ids
+    # more partitions than devices: groups cap at the device count
+    meshes9 = slice_submeshes(9)
+    assert meshes9 is not None and len(meshes9) <= 8
+    # tasks actually run under their pinned device and return in order
+    out = thread_map_submesh(lambda v: v * 2, [1, 2, 3, 4, 5], meshes)
+    assert out == [2, 4, 6, 8, 10]
+    assert slice_submeshes(1) is None
