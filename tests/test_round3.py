@@ -1,0 +1,43 @@
+"""Round-3 additions: fused power cycle, misc hardening."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import slepc_tpu as st
+from slepc_tpu.mat.generators import laplacian_2d, laplacian_2d_eigs
+
+
+def test_power_fused_chunk_matches_host():
+    """The chunked fused power cycle must converge to the same dominant
+    eigenpairs as the per-step host loop (reference power.c semantics)."""
+    A = laplacian_2d(12, 12, dtype=np.float64)
+    n = 144
+    lam_max = np.sort(np.linalg.eigvalsh(A.to_dense()))[::-1][:2]
+
+    eps = st.EPS(A, problem_type="hep", nev=2, tol=1e-9, max_it=20000)
+    eps.set_type("power")
+    eps.solve()
+    assert eps.nconv == 2
+    got = np.sort(eps.eigenvalues.real)[::-1]
+    assert np.allclose(got, lam_max, rtol=1e-7)
+
+    # host path (chunk=1 disables fusion) agrees
+    eps2 = st.EPS(A, problem_type="hep", nev=2, tol=1e-9, max_it=20000)
+    eps2.set_type("power")
+    eps2.power_chunk = 1
+    eps2.solve()
+    assert eps2.nconv == 2
+    assert np.allclose(np.sort(eps2.eigenvalues.real)[::-1], got, rtol=1e-8)
+
+
+def test_power_fused_deflation_orthogonality():
+    """Locked vectors from the fused path stay mutually orthogonal."""
+    A = laplacian_2d(10, 10, dtype=np.float64)
+    eps = st.EPS(A, problem_type="hep", nev=3, tol=1e-8, max_it=20000)
+    eps.set_type("power")
+    eps.solve()
+    assert eps.nconv == 3
+    V = eps.get_eigenvectors()
+    G = V.conj().T @ V
+    assert np.allclose(G, np.eye(3), atol=1e-6)
