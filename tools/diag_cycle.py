@@ -1,9 +1,10 @@
 """Component-level timing of the jitted KS cycles on the real TPU.
 
-Methodology per CLAUDE.md: chained varying-input device-fused loops only
-(the axon relay replays constant-input repeats from cache).  Each probe
-jits ONE program that runs ITERS chained copies of the component, so the
-per-component time excludes dispatch latency.
+Methodology per CLAUDE.md: chained varying-input device-fused loops only.
+The axon relay replays ANY constant-input repeat from cache — including
+chains that converge to a fixed point (orthogonalize+normalize is
+idempotent!), so every probe injects a per-call scalar perturbation that
+keeps successive inputs distinct.
 """
 
 import os
@@ -20,18 +21,19 @@ def log(m):
           flush=True)
 
 
-def timeit(f, *args, iters=1, reps=3):
+def timeit(f, x, iters, reps=5):
+    """f(x, t) -> array like x; t is a per-call distinct scalar so no two
+    dispatches ever see identical inputs (no relay replay)."""
     import jax
+    import jax.numpy as jnp
 
-    y = f(*args)
+    y = f(x, jnp.float32(1e-4))
     jax.block_until_ready(y)
-    best = 1e9
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        y = f(*args)
-        jax.block_until_ready(y)
-        best = min(best, time.perf_counter() - t0)
-    return best / iters
+    t0 = time.perf_counter()
+    for k in range(2, reps + 2):
+        y = f(y, jnp.float32(k * 1e-4))
+    jax.block_until_ready(y)
+    return (time.perf_counter() - t0) / reps / iters
 
 
 def main():
@@ -49,116 +51,106 @@ def main():
     ncv, b = 32, 8
     ITERS = 20
 
-    # ---- 1. chained small eigh (32x32): vary input through the chain ----
-    @jax.jit
-    def eigh_chain(S):
-        def body(i, S):
-            w, Q = jnp.linalg.eigh(S)
-            S2 = (Q * (w + 1.0)) @ Q.T
-            return 0.5 * (S2 + S2.T)
-        return jax.lax.fori_loop(0, ITERS, body, S)
-
     rng = np.random.default_rng(0)
+
+    # ---- 1. small eigh chains ----
+    def mk_eigh_chain(m):
+        @jax.jit
+        def chain(S, t):
+            def body(i, S):
+                w, Q = jnp.linalg.eigh(S)
+                S2 = (Q * (w + t)) @ Q.T
+                return 0.5 * (S2 + S2.T)
+            return jax.lax.fori_loop(0, ITERS, body, S)
+        return chain
+
     M = rng.standard_normal((ncv, ncv)).astype(np.float32)
-    S0 = jnp.asarray(M + M.T)
-    log("compiling eigh32 chain...")
-    dt = timeit(eigh_chain, S0, iters=ITERS)
+    log("timing eigh32 chain...")
+    dt = timeit(mk_eigh_chain(ncv), jnp.asarray(M + M.T), ITERS)
     log(f"eigh 32x32: {dt*1e3:.3f} ms/call")
 
-    @jax.jit
-    def eigh8_chain(S):
-        def body(i, S):
-            w, Q = jnp.linalg.eigh(S)
-            S2 = (Q * (w + 1.0)) @ Q.T
-            return 0.5 * (S2 + S2.T)
-        return jax.lax.fori_loop(0, ITERS, body, S)
-
     M8 = rng.standard_normal((b, b)).astype(np.float32)
-    log("compiling eigh8 chain...")
-    dt = timeit(eigh8_chain, jnp.asarray(M8 + M8.T), iters=ITERS)
+    log("timing eigh8 chain...")
+    dt = timeit(mk_eigh_chain(b), jnp.asarray(M8 + M8.T), ITERS)
     log(f"eigh 8x8: {dt*1e3:.3f} ms/call")
 
-    # ---- 2. chained cholesky 8x8 ----
+    # ---- 2. cholesky 8x8 ----
     @jax.jit
-    def chol_chain(S):
+    def chol_chain(S, t):
         def body(i, S):
             L = jnp.linalg.cholesky(S)
             S2 = L @ L.T
-            return 0.5 * (S2 + S2.T) + jnp.eye(b, dtype=S.dtype) * 1e-3
+            return 0.5 * (S2 + S2.T) + t * jnp.eye(b, dtype=S.dtype)
         return jax.lax.fori_loop(0, ITERS, body, S)
 
     SPD = jnp.asarray(M8 @ M8.T + 8 * np.eye(b, dtype=np.float32))
-    log("compiling chol8 chain...")
-    dt = timeit(chol_chain, SPD, iters=ITERS)
+    log("timing chol8 chain...")
+    dt = timeit(chol_chain, SPD, ITERS)
     log(f"cholesky 8x8: {dt*1e3:.3f} ms/call")
 
-    # ---- 3. BCGS GEMM pair: C = V W^T contraction + update over the
-    # full (33, rows, W) basis with an (8, rows, W) block ----
+    # ---- 3. BCGS GEMM pair over the full (33,...) basis, 8-block ----
     vshape = x.shape
     V = jnp.asarray(
         rng.standard_normal((ncv + 1,) + vshape).astype(np.float32))
     Wb0 = jnp.asarray(rng.standard_normal((b,) + vshape).astype(np.float32))
 
     @jax.jit
-    def bcgs_chain(V, Wb):
+    def bcgs_chain(Wb, t):
         def body(i, Wb):
             C = jnp.einsum("k...,m...->km", V, Wb)
             Wb = Wb - jnp.einsum("km,k...->m...", C, V)
-            return Wb / jnp.linalg.norm(Wb)
+            # re-inject a span(V) component so the chain never fixes
+            Wb = Wb / jnp.linalg.norm(Wb) + t * V[:b]
+            return Wb
         return jax.lax.fori_loop(0, ITERS, body, Wb)
 
-    log("compiling bcgs gemm pair...")
-    dt = timeit(bcgs_chain, V, Wb0, iters=ITERS)
-    gb = (2 * (ncv + 1) + 3 * b) * n * 4 / 1e9
-    log(f"BCGS pair (33 rows + 8-block): {dt*1e3:.3f} ms "
-        f"({gb/dt:.0f} GB/s)")
+    log("timing bcgs gemm pair...")
+    dt = timeit(bcgs_chain, Wb0, ITERS)
+    gb = (2 * (ncv + 1) + 4 * b) * n * 4 / 1e9
+    log(f"BCGS pair (33 rows + 8-block): {dt*1e3:.3f} ms ({gb/dt:.0f} GB/s)")
 
     # ---- 4. single-column CGS2 (4 GEMV sweeps) ----
-    v0 = x
-
     @jax.jit
-    def cgs2_chain(V, v):
+    def cgs2_chain(v, t):
         def body(i, v):
             c = jnp.einsum("k...,...->k", V, v)
             v = v - jnp.einsum("k,k...->...", c, V)
             c2 = jnp.einsum("k...,...->k", V, v)
             v = v - jnp.einsum("k,k...->...", c2, V)
-            return v / jnp.linalg.norm(v)
+            return v / jnp.linalg.norm(v) + t * V[0]
         return jax.lax.fori_loop(0, ITERS, body, v)
 
-    log("compiling cgs2 column...")
-    dt = timeit(cgs2_chain, V, v0, iters=ITERS)
-    gb = (4 * (ncv + 1) + 4) * n * 4 / 1e9
-    log(f"CGS2 column (4 sweeps over 33): {dt*1e3:.3f} ms "
-        f"({gb/dt:.0f} GB/s)")
+    log("timing cgs2 column...")
+    dt = timeit(cgs2_chain, x, ITERS)
+    gb = (4 * (ncv + 1) + 5) * n * 4 / 1e9
+    log(f"CGS2 column (4 sweeps over 33): {dt*1e3:.3f} ms ({gb/dt:.0f} GB/s)")
 
     # ---- 5. rotation GEMM: (32,32) applied to 32 basis rows ----
     Q0 = jnp.asarray(rng.standard_normal((ncv, ncv)).astype(np.float32))
 
     @jax.jit
-    def rot_chain(V):
+    def rot_chain(V, t):
         def body(i, V):
-            Vr = jnp.einsum("kp,k...->p...", Q0, V[:ncv])
-            V = V.at[:ncv].set(Vr / jnp.linalg.norm(Vr))
-            return V
+            Vr = jnp.einsum("kp,k...->p...", Q0 + t, V[:ncv])
+            return V.at[:ncv].set(Vr / jnp.linalg.norm(Vr))
         return jax.lax.fori_loop(0, ITERS, body, V)
 
-    log("compiling rotation...")
-    dt = timeit(rot_chain, V, iters=ITERS)
+    log("timing rotation...")
+    dt = timeit(rot_chain, V, ITERS)
     gb = 2 * ncv * n * 4 / 1e9
     log(f"rotation V<-QV (32 rows): {dt*1e3:.3f} ms ({gb/dt:.0f} GB/s)")
 
     # ---- 6. 8 SpMVs ----
     @jax.jit
-    def spmv8_chain(v):
+    def spmv8_chain(v, t):
         def body(i, v):
             for _ in range(8):
                 v = op.mult2d(v)
-            return v / jnp.linalg.norm(v)
+            return v / jnp.linalg.norm(v) + t
         return jax.lax.fori_loop(0, ITERS, body, v)
 
-    log("compiling spmv x8...")
-    dt = timeit(spmv8_chain, x, iters=ITERS)
+    log("timing spmv x8...")
+    dt = timeit(spmv8_chain, x, ITERS)
     log(f"8 chained SpMV: {dt*1e3:.3f} ms ({dt/8*1e3:.3f} ms each)")
 
     # ---- 7. full cycles for reference ----
@@ -169,7 +161,7 @@ def main():
     Vb = jnp.zeros((ncv + 1,) + vshape, np.float32).at[0].set(v0n)
     Hb = jnp.zeros((ncv + 1, ncv), np.float32)
 
-    def chain_cycles(f, V, H, ncycles=3):
+    def chain_cycles(f, V, H, ncycles=4):
         o = f(V, H, jnp.asarray(0))
         jax.block_until_ready(o)
         st = (o[0], o[1], o[2])
@@ -180,12 +172,12 @@ def main():
         jax.block_until_ready(o)
         return (time.perf_counter() - t0) / ncycles
 
-    log("compiling full ks cycle...")
+    log("timing full ks cycle...")
     dt = chain_cycles(lambda V, H, j: ks_hep_cycle(
         op, V, H, j, 1e-5, key, ncv=ncv, which="smallest"), Vb, Hb)
     log(f"ks_hep_cycle: {dt*1e3:.1f} ms/cycle")
 
-    log("compiling blocked ks cycle...")
+    log("timing blocked ks cycle...")
     Vblk = jnp.zeros((ncv + b,) + vshape, np.float32)
     Mb = rng.standard_normal((int(np.prod(vshape)), b)).astype(np.float32)
     Qb, _ = np.linalg.qr(Mb)
