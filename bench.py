@@ -1,25 +1,31 @@
-"""Benchmark: SpMV throughput + solver-cycle cost on the real chip.
+"""Benchmark: SpMV throughput + solver-cycle cost + flagship solve on TPU.
 
 Prints ONE JSON line:
   {"metric": "spmv_nnz_per_s", "value": N, "unit": "nnz/s", "vs_baseline": r,
    ...extra diagnostic fields...}
 
-Methodology:
-  * All loops are device-fused (lax.fori_loop chaining the op) — the TPU
-    relay costs ~1 ms per dispatch and caches constant-input repeats, so
-    only fused varying-input loops measure the kernel.
-  * The shared TPU's achievable HBM bandwidth swings several-fold across
-    time windows, so ``vs_baseline`` is CALIBRATED IN-PROCESS: a pure
-    stream Pallas kernel moves exactly the DIA SpMV's ideal bytes through
-    the same DMA machinery; vs_baseline = stream_time / spmv_time (1.0 =
-    the kernel runs at this window's measured speed of light).  The
-    nominal-HBM ratio is kept as a secondary field for round-over-round
-    comparison.
-  * The SpMV measurement runs twice (start and end of the bench) and
-    takes the better window.
+Methodology (hard rules, learned the hard way — r2 VERDICT items 1-3):
+  * CACHE-REPLAY-PROOF: the axon relay replays ANY constant-input repeat
+    from cache (a repeated call can read 0.00 ms).  Every timed repetition
+    here (a) chains the previous output into the next input AND (b) injects
+    a distinct scalar perturbation per call, so no two dispatches ever see
+    identical bytes.  A pass that is >5x faster than its sibling is
+    rejected as a replay artifact.
+  * All kernel loops are device-fused (lax.fori_loop chaining the op) —
+    per-dispatch relay latency is ~1 ms.
+  * Restart cycles are chained with the j0 handoff as a FRESH HOST int32:
+    feeding the previous cycle's device scalar back in makes the identical
+    executable ~3x slower (tools/diag_tail.py; production ks_hep_solve
+    does the same).
+  * ``vs_baseline`` = (ideal_bytes / measured_time) / best in-process
+    stream bandwidth — a smooth ratio that can exceed or fall below 1
+    (the r2 max() formulation saturated at a constant).
+  * The shared TPU's achievable bandwidth swings ~2x across time windows:
+    only in-process comparisons are meaningful.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -32,18 +38,24 @@ def _log(msg):
           flush=True)
 
 
-def _timeit(f, x, iters, reps=3):
+def _timeit_chain(loop, x, iters, reps=3):
+    """loop(x, t) -> y (same shape as x); chains y->x with per-call t.
+    Returns (best_seconds_per_iter, replay_suspect)."""
     import jax
+    import jax.numpy as jnp
 
-    y = f(x)
+    y = loop(x, jnp.float32(1e-6))
     jax.block_until_ready(y)
-    best = 1e9
-    for _ in range(reps):
+    ts = []
+    for k in range(reps):
         t0 = time.perf_counter()
-        y = f(x)
+        y = loop(y, jnp.float32((k + 2) * 1e-6))
         jax.block_until_ready(y)
-        best = min(best, time.perf_counter() - t0)
-    return best / iters
+        ts.append(time.perf_counter() - t0)
+    ts = sorted(ts)
+    suspect = ts[-1] > 5 * ts[0]
+    best = ts[len(ts) // 2] if suspect else ts[0]
+    return best / iters, suspect
 
 
 def main():
@@ -79,7 +91,8 @@ def main():
 
     def spmv_loop_fn(mult):
         @jax.jit
-        def loop(x):
+        def loop(x, t):
+            x = x * (1.0 + t)  # vary inputs: no relay replay, no fixpoint
             def body(i, v):
                 y = mult(v)
                 return y / jnp.linalg.norm(y)
@@ -88,8 +101,8 @@ def main():
 
     _log("compiling spmv loop...")
     spmv_loop = spmv_loop_fn(mult)
-    dt1 = _timeit(spmv_loop, x, ITERS)
-    _log(f"spmv pass 1: {dt1*1e3:.3f} ms/iter")
+    dt1, sus1 = _timeit_chain(spmv_loop, x, ITERS)
+    _log(f"spmv pass 1: {dt1*1e3:.3f} ms/iter (replay_suspect={sus1})")
 
     # ---- in-window speed-of-light: pure-stream kernel moving the same
     # ideal byte count (diags once + x once + y once) ----
@@ -106,7 +119,8 @@ def main():
         y_ref[:] = acc
 
     @jax.jit
-    def stream_loop(x):
+    def stream_loop(x, t):
+        x = x * (1.0 + t)
         def body(i, v):
             y = pl.pallas_call(
                 _stream_kernel,
@@ -129,11 +143,12 @@ def main():
 
     _log("calibrating stream speed-of-light...")
     xs = jnp.ones(((nblk + 2) * Rb, LANES), dtype)
-    dt_stream = _timeit(stream_loop, xs, ITERS)
+    dt_stream, sus_s = _timeit_chain(stream_loop, xs, ITERS)
     stream_bytes = (nd * n + 2 * n) * 4
     out["stream_bw_gb_s"] = stream_bytes / dt_stream / 1e9
     _log(f"stream: {dt_stream*1e3:.3f} ms/iter = "
-         f"{out['stream_bw_gb_s']:.0f} GB/s achievable")
+         f"{out['stream_bw_gb_s']:.0f} GB/s achievable "
+         f"(replay_suspect={sus_s})")
 
     # ---- general-sparsity (AIJ) fast path: hybrid diagonal/gather ELL
     # on a 9-point variable-coefficient banded CSR (1M rows) ----
@@ -154,7 +169,7 @@ def main():
         xg = opg.pad2d(jnp.ones((n2,), dtype))
         gell_loop = spmv_loop_fn(opg.mult2d)
         _log("compiling hybrid-ELL loop...")
-        dtg = _timeit(gell_loop, xg, ITERS)
+        dtg, sus_g = _timeit_chain(gell_loop, xg, ITERS)
         out["aij_nnz_per_s"] = Am.nnz / dtg
         gbytes = opg.stream_bytes + 2 * n2 * 4
         out["aij_eff_gb_s"] = gbytes / dtg / 1e9
@@ -162,7 +177,8 @@ def main():
         out["aij_rows"] = n2
         out["aij_nnz"] = int(Am.nnz)
         _log(f"aij: {dtg*1e3:.3f} ms/iter = {Am.nnz/dtg/1e9:.1f} Gnnz/s "
-             f"({out['aij_vs_stream']:.2f} of stream SoL)")
+             f"({out['aij_vs_stream']:.2f} of stream SoL, "
+             f"replay_suspect={sus_g})")
     except Exception as e:  # pragma: no cover - keep the bench alive
         _log(f"aij bench failed: {e!r}")
 
@@ -175,23 +191,28 @@ def main():
         x64 = opds.pad2d(jnp.ones((n,), np.float64))
         ds_loop = spmv_loop_fn(opds.mult2d)
         _log("compiling f64 double-single loop...")
-        dtds = _timeit(ds_loop, x64, ITERS)
+        dtds, sus_d = _timeit_chain(ds_loop, x64, ITERS)
         out["spmv_f64_nnz_per_s"] = nnz / dtds
         out["spmv_f64_vs_f32"] = dt1 / dtds
         _log(f"f64-ds: {dtds*1e3:.3f} ms/iter = {nnz/dtds/1e9:.1f} Gnnz/s "
-             f"({out['spmv_f64_vs_f32']:.2f}x of f32)")
-        # accuracy spot check against host f64
-        yds = np.asarray(opds.unpad(opds.mult2d(x64)))
-        yref = A64.to_scipy() @ np.ones(n)
+             f"({out['spmv_f64_vs_f32']:.2f}x of f32, "
+             f"replay_suspect={sus_d})")
+        # accuracy spot check vs host f64 on a RANDOM vector (x=ones on an
+        # integer-valued Laplacian cancels exactly in f32 — vacuous)
+        xr = np.random.default_rng(3).standard_normal(n)
+        xrp = opds.pad2d(jnp.asarray(xr))
+        yds = np.asarray(opds.unpad(opds.mult2d(xrp)))
+        yref = A64.to_scipy() @ xr
         out["spmv_f64_relerr"] = float(
             np.abs(yds - yref).max() / max(np.abs(yref).max(), 1e-300))
+        _log(f"f64-ds relerr (random x): {out['spmv_f64_relerr']:.2e}")
     except Exception as e:  # pragma: no cover
         _log(f"f64 bench failed: {e!r}")
 
     # ---- full solver-iteration cost: jitted KS cycles on the same
-    # operator.  BASELINE gate: orth+restart <= 20% over pure SpMV; the
-    # blocked cycle (BCGS2 per b columns) is the bandwidth-lean path. ----
-    from slepc_tpu.eps.ks_jit import ks_hep_cycle, ks_hep_cycle_blocked
+    # operator.  BASELINE gate: orth+restart <= 20% over pure SpMV. ----
+    from slepc_tpu.eps.ks_jit import (get_ks_hep_cycle,
+                                      get_ks_hep_cycle_blocked)
 
     ncv_b = 32
     v0b = np.asarray(op_b.pad2d(jnp.ones((n,), dtype))) if A.dp is not None \
@@ -203,72 +224,106 @@ def main():
         jnp.asarray(v0b))
 
     def _chain_cycles(f, V, H, ncycles=4):
-        """Chained restart cycles: every timed call has DIFFERENT inputs
-        (the relay replays constant-input repeats from cache) and the
-        steady-state extension size ncv-kl ~ ncv/2 matches production."""
-        o = f(V, H, jnp.asarray(0))
+        """Chained restart cycles: every timed call has DIFFERENT inputs;
+        j0 handed off as a fresh host int32 (the production pattern)."""
+        o = f(V, H, jnp.asarray(np.int32(0)))
         jax.block_until_ready(o)
         st = (o[0], o[1], o[2])
         t0 = time.perf_counter()
         for _ in range(ncycles):
-            o = f(st[0], st[1], st[2])
+            o = f(st[0], st[1], jnp.asarray(np.int32(int(st[2]))))
             st = (o[0], o[1], o[2])
         jax.block_until_ready(o)
         return (time.perf_counter() - t0) / ncycles
 
     cols = ncv_b // 2  # steady-state new columns per chained cycle
 
-    _log("compiling ks cycle (full CGS2)...")
-    dtc = _chain_cycles(
-        lambda V, H, j: ks_hep_cycle(op_b, V, H, j, 1e-5, keyb, ncv=ncv_b,
-                                     which="smallest"), Vb, Hb)
+    cyc_xla = get_ks_hep_cycle(op_b, keyb, ncv_b, "smallest", orth="xla")
+    _log("compiling ks cycle (full CGS2, xla orth)...")
+    dtc = _chain_cycles(lambda V, H, j: cyc_xla(V, H, j, 1e-5), Vb, Hb)
     out["ks_cycle_ms"] = dtc * 1e3
     out["ks_cycle_per_column_ms"] = dtc / cols * 1e3
+    _log(f"ks xla: {dtc/cols*1e3:.2f} ms/col")
 
-    _log("compiling ks cycle (partial/omega reorth)...")
-    dtp = _chain_cycles(
-        lambda V, H, j: ks_hep_cycle(op_b, V, H, j, 1e-5, keyb, ncv=ncv_b,
-                                     which="smallest", reorth="partial"),
-        Vb, Hb)
-    out["ks_cycle_partial_per_column_ms"] = dtp / cols * 1e3
+    try:
+        cyc_pal = get_ks_hep_cycle(op_b, keyb, ncv_b, "smallest",
+                                   orth="pallas")
+        _log("compiling ks cycle (full CGS2, pallas orth)...")
+        dtp = _chain_cycles(lambda V, H, j: cyc_pal(V, H, j, 1e-5), Vb, Hb)
+        out["ks_cycle_pallas_per_column_ms"] = dtp / cols * 1e3
+        _log(f"ks pallas: {dtp/cols*1e3:.2f} ms/col")
+        if dtp < dtc:
+            out["ks_cycle_per_column_ms"] = dtp / cols * 1e3
+    except Exception as e:
+        _log(f"pallas cycle failed: {e!r}")
 
-    _log("compiling blocked ks cycle (b=8)...")
-    bsz = 8
-    Vblk = jnp.zeros((ncv_b + bsz,) + v0b.shape, dtype=dtype)
-    # orthonormal random block rows (host QR on the flats)
-    rngb = np.random.default_rng(1)
-    Mb = rngb.standard_normal((int(np.prod(v0b.shape)), bsz)).astype(dtype)
-    Mb[:, 0] = np.asarray(v0b).ravel()
-    Qb, _ = np.linalg.qr(Mb)
-    for i in range(bsz):
-        Vblk = Vblk.at[i].set(jnp.asarray(Qb[:, i].reshape(v0b.shape)))
-    Hblk = jnp.zeros((ncv_b + bsz, ncv_b), dtype=dtype)
-    dtb = _chain_cycles(
-        lambda V, H, j: ks_hep_cycle_blocked(op_b, V, H, j, 1e-5, keyb,
-                                             ncv=ncv_b, b=bsz,
-                                             which="smallest"), Vblk, Hblk)
-    out["ks_cycle_blocked_per_column_ms"] = dtb / cols * 1e3
+    try:
+        cyc_part = get_ks_hep_cycle(op_b, keyb, ncv_b, "smallest",
+                                    reorth="partial")
+        _log("compiling ks cycle (partial/omega reorth)...")
+        dtpa = _chain_cycles(lambda V, H, j: cyc_part(V, H, j, 1e-5), Vb, Hb)
+        out["ks_cycle_partial_per_column_ms"] = dtpa / cols * 1e3
+        _log(f"ks partial: {dtpa/cols*1e3:.2f} ms/col")
+    except Exception as e:
+        _log(f"partial cycle failed: {e!r}")
+
+    try:
+        bsz = 8
+        cyc_blk = get_ks_hep_cycle_blocked(op_b, keyb, ncv_b, bsz,
+                                           "smallest")
+        Vblk = jnp.zeros((ncv_b + bsz,) + v0b.shape, dtype=dtype)
+        rngb = np.random.default_rng(1)
+        Mb = rngb.standard_normal((int(np.prod(v0b.shape)),
+                                   bsz)).astype(dtype)
+        Mb[:, 0] = np.asarray(v0b).ravel()
+        Qb, _ = np.linalg.qr(Mb)
+        for i in range(bsz):
+            Vblk = Vblk.at[i].set(jnp.asarray(Qb[:, i].reshape(v0b.shape)))
+        if hasattr(op_b, "mask2d"):
+            Vblk = Vblk * op_b.mask2d[None]
+        Hblk = jnp.zeros((ncv_b + bsz, ncv_b), dtype=dtype)
+        _log("compiling blocked ks cycle (b=8)...")
+        dtb = _chain_cycles(lambda V, H, j: cyc_blk(V, H, j, 1e-5),
+                            Vblk, Hblk)
+        out["ks_cycle_blocked_per_column_ms"] = dtb / cols * 1e3
+        _log(f"ks blocked: {dtb/cols*1e3:.2f} ms/col")
+    except Exception as e:
+        _log(f"blocked cycle failed: {e!r}")
 
     # ---- second SpMV pass (window hedge) ----
-    dt2 = _timeit(spmv_loop, x, ITERS)
+    dt2, sus2 = _timeit_chain(spmv_loop, x, ITERS)
     dt = min(dt1, dt2)
-    _log(f"spmv pass 2: {dt2*1e3:.3f} ms/iter; best {dt*1e3:.3f}")
+    if max(dt1, dt2) > 5 * min(dt1, dt2):
+        _log("WARNING: spmv passes differ >5x — replay artifact, "
+             "using the slower pass")
+        dt = max(dt1, dt2)
+    _log(f"spmv pass 2: {dt2*1e3:.3f} ms/iter; using {dt*1e3:.3f}")
     nnz_per_s = nnz / dt
     out["spmv_rows"] = n
     out["spmv_nnz"] = nnz
     out["spmv_time_per_iter_ms"] = dt * 1e3
     out["vs_baseline_nominal"] = nnz_per_s / (8.2e11 / 5.6)
-    # roofline = fastest byte-mover observed in-process (the naive stream
-    # kernel, or the SpMV itself on its own actual bytes when it beats
-    # the stream — the shared chip's window shifts between measurements)
-    actual_bytes = (len(A.offsets) * n + 2.25 * n) * 4  # v3 halo re-reads
-    roof_bw = max(stream_bytes / dt_stream, actual_bytes / dt)
-    out["roofline_bw_gb_s"] = roof_bw / 1e9
-    vs_cal = (stream_bytes / dt) / roof_bw
-    out["ks_orth_overhead_vs_spmv"] = \
-        out["ks_cycle_blocked_per_column_ms"] / (dt * 1e3) - 1.0
+    # calibrated headline: ideal bytes at the measured achievable stream
+    # bandwidth (smooth; >1 means the SpMV moves its ideal bytes faster
+    # than the naive stream kernel — e.g. better pipelining)
+    vs_cal = (stream_bytes / dt) / (stream_bytes / dt_stream)
+    out["roofline_bw_gb_s"] = out["stream_bw_gb_s"]
     out["ks_orth_overhead_full_cgs2"] = \
         out["ks_cycle_per_column_ms"] / (dt * 1e3) - 1.0
+    if "ks_cycle_blocked_per_column_ms" in out:
+        out["ks_orth_overhead_vs_spmv"] = \
+            out["ks_cycle_blocked_per_column_ms"] / (dt * 1e3) - 1.0
+
+    # ---- FLAGSHIP (BASELINE.md north star): k=20 smallest of a 10.35M-row
+    # 3-D Laplacian to 1e-8 relative residual, f64 via the double-single
+    # kernel, fully-jitted KS cycles with omega-monitored partial reorth,
+    # everything generated and verified ON DEVICE. ----
+    if on_tpu and os.environ.get("BENCH_FLAGSHIP", "1") != "0":
+        try:
+            budget = float(os.environ.get("BENCH_FLAGSHIP_BUDGET", "1500"))
+            _flagship(out, budget, _log)
+        except Exception as e:
+            _log(f"flagship failed: {e!r}")
 
     # ---- k=10 smallest via shift-and-invert (host-factorization
     # workload, CPU backend — the axon plugin cannot host-callback) ----
@@ -294,23 +349,115 @@ def main():
             eps3.solve()
             ks_dt = time.perf_counter() - t0
             got = np.sort(eps3.eigenvalues[: eps3.nconv].real)[:10]
-            out["ks_rows"] = side3 * side3
-            out["ks_nconv"] = int(eps3.nconv)
-            out["ks_time_s"] = ks_dt
-            out["ks_correct"] = bool(eps3.nconv >= 10
-                                     and np.allclose(got, exact3, rtol=1e-6))
-            out["ks_eigenpairs_per_s"] = eps3.nconv / ks_dt if ks_dt > 0 else 0.0
+            out["sinvert_rows"] = side3 * side3
+            out["sinvert_nconv"] = int(eps3.nconv)
+            out["sinvert_time_s"] = ks_dt
+            out["sinvert_correct"] = bool(
+                eps3.nconv >= 10 and np.allclose(got, exact3, rtol=1e-6))
 
     _log("done")
     print(json.dumps({
         "metric": "spmv_nnz_per_s",
         "value": nnz_per_s,
         "unit": "nnz/s",
-        # calibrated: 1.0 == ideal bytes moved at this window's measured
-        # achievable bandwidth (in-process roofline)
+        # calibrated: ideal bytes at this window's measured achievable
+        # stream bandwidth (in-process roofline; smooth around 1.0)
         "vs_baseline": vs_cal,
         **out,
     }))
+
+
+def _flagship(out, budget_s, _log):
+    """k=20 smallest eigenpairs, 10.35M-row 3-D Laplacian, tol 1e-8."""
+    import jax
+    import jax.numpy as jnp
+
+    from slepc_tpu.eps.ks_jit import get_ks_hep_cycle
+    from slepc_tpu.mat.generators import laplacian_3d_device, laplacian_3d_eigs
+
+    t_start = time.perf_counter()
+    nx, ny, nz = (int(s) for s in os.environ.get(
+        "BENCH_FLAGSHIP_SIDES", "200,225,230").split(","))
+    n = nx * ny * nz
+    nev, tol = 20, 1e-8
+    ncv = int(os.environ.get("BENCH_FLAGSHIP_NCV", "64"))
+    _log(f"flagship: {n/1e6:.2f}M rows 3-D Laplacian, k={nev}, tol={tol}, "
+         f"ncv={ncv}, f64 double-single kernel")
+    op = laplacian_3d_device(nx, ny, nz, dtype=np.float64)
+    key = jax.random.PRNGKey(12345)
+    vshape = op.mask2d.shape
+    v0 = jax.random.normal(key, vshape, jnp.float64) * op.mask2d
+    v0 = v0 / jnp.linalg.norm(v0)
+    V = jnp.zeros((ncv + 1,) + vshape, jnp.float64).at[0].set(v0)
+    H = jnp.zeros((ncv + 1, ncv), jnp.float64)
+    # full CGS2: semi-orthogonal (partial/omega) Lanczos bounds the
+    # backward error at sqrt(eps)*||A|| ~ 1.8e-7 absolute — relative to
+    # lambda_1 ~ 6e-4 that is ~3e-4, far above the 1e-8 target, so the
+    # light mode cannot certify this tolerance (measured: eigenvalues
+    # exact to 2e-11 but true residuals 2e-4)
+    cyc = get_ks_hep_cycle(op, key, ncv, "smallest", reorth="full")
+
+    _log("flagship: compiling the f64 cycle (remote f64 compiles are "
+         "slow — minutes)...")
+    t0 = time.perf_counter()
+    o = cyc(V, H, jnp.asarray(np.int32(0)), tol, 0)
+    jax.block_until_ready(o[3])
+    out["ks_tpu_compile_s"] = time.perf_counter() - t0
+    _log(f"flagship: compile+first cycle {out['ks_tpu_compile_s']:.0f}s")
+
+    V, H, j0, k2 = o[0], o[1], int(o[2]), int(o[3])
+    t_solve0 = time.perf_counter()
+    cols = ncv
+    cycles = 1
+    theta = o[4]
+    while k2 < nev and cycles < 1000:
+        if time.perf_counter() - t_start > budget_s:
+            _log("flagship: wall budget hit")
+            break
+        cols += ncv - j0
+        o = cyc(V, H, jnp.asarray(np.int32(j0)), tol, k2)
+        V, H, j0, k2, theta = o[0], o[1], int(o[2]), int(o[3]), o[4]
+        cycles += 1
+        if cycles % 20 == 0:
+            _log(f"flagship: cycle {cycles}, k2={k2}, cols={cols}, "
+                 f"{time.perf_counter()-t_solve0:.0f}s")
+    wall = time.perf_counter() - t_solve0
+    kfound = min(k2, nev)
+    out["ks_tpu_rows"] = n
+    out["ks_tpu_nconv"] = int(k2)
+    out["ks_tpu_cycles"] = cycles
+    out["ks_tpu_cols"] = cols
+    out["ks_tpu_solve_s"] = wall
+    out["ks_tpu_eigenpairs_per_s"] = kfound / wall if wall > 0 else 0.0
+    _log(f"flagship: k2={k2} in {cycles} cycles / {cols} cols / "
+         f"{wall:.0f}s solve")
+    if kfound > 0:
+        # true residuals ON DEVICE (downloading 20 x 10M f64 vectors
+        # through the relay would take minutes); eigenvalue check vs the
+        # closed-form spectrum
+        th = np.asarray(theta)[:kfound]
+
+        @jax.jit
+        def resid(op, V, th):  # op traced: big arrays must NOT become
+            def one(i, acc):   # HLO constants (relay-upload pain)
+                v = V[i]
+                r = op.mult2d(v) - th[i] * v
+                return acc.at[i].set(jnp.linalg.norm(r)
+                                     / jnp.maximum(jnp.abs(th[i]), 1e-300))
+            return jax.lax.fori_loop(0, kfound, one,
+                                     jnp.zeros(kfound, jnp.float64))
+
+        errs = np.asarray(resid(op, V, jnp.asarray(th)))
+        exact = laplacian_3d_eigs(nx, ny, nz, k=nev)[:kfound]
+        out["ks_tpu_max_resid"] = float(errs.max())
+        out["ks_tpu_max_eig_abserr"] = float(
+            np.abs(np.sort(th) - exact).max())
+        out["ks_tpu_correct"] = bool(
+            k2 >= nev and errs.max() < 100 * 1e-8
+            and np.abs(np.sort(th) - exact).max() < 1e-9)
+        _log(f"flagship: max true resid {errs.max():.2e}, max |eig err| "
+             f"{out['ks_tpu_max_eig_abserr']:.2e}, "
+             f"correct={out['ks_tpu_correct']}")
 
 
 if __name__ == "__main__":

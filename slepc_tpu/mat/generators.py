@@ -76,6 +76,52 @@ def laplacian_3d(nx: int, ny: int | None = None, nz: int | None = None,
     )
 
 
+def laplacian_3d_device(nx: int, ny: int | None = None, nz: int | None = None,
+                        dtype=np.float64, block_rows: int = 128):
+    """7-point 3-D Laplacian as a padded Pallas operator with diagonals
+    GENERATED ON DEVICE.
+
+    Host->device uploads through the axon relay run at ~1-5 MB/s: at 10M
+    rows the host-built diagonal route of :func:`laplacian_3d` stalls for
+    minutes, while the stencil values here are pure index functions that
+    materialize on-chip in milliseconds.  f64 returns the double-single
+    operator (the stencil values are integers, so hi == value and lo == 0
+    EXACTLY — no split error); f32 returns the plain padded operator.
+
+    Reference analog: the inline operator assembly of
+    src/eps/tutorials/ex2.c generalized to 3-D.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.dia_pallas import (DIAPaddedOperator, DIAPaddedOperatorDS,
+                                  prepare_diags)
+
+    if ny is None:
+        ny = nx
+    if nz is None:
+        nz = nx
+    n = nx * ny * nz
+    i = jnp.arange(n, dtype=jnp.int32)
+    ix = i % nx
+    iy = (i // nx) % ny
+    iz = i // (nx * ny)
+    f32 = jnp.float32
+    main = jnp.full((n,), 6.0, f32)
+    east = jnp.where(ix < nx - 1, -1.0, 0.0).astype(f32)
+    west = jnp.where(ix > 0, -1.0, 0.0).astype(f32)
+    north = jnp.where(iy < ny - 1, -1.0, 0.0).astype(f32)
+    south = jnp.where(iy > 0, -1.0, 0.0).astype(f32)
+    up = jnp.where(iz < nz - 1, -1.0, 0.0).astype(f32)
+    down = jnp.where(iz > 0, -1.0, 0.0).astype(f32)
+    diags = jnp.stack([down, south, west, main, east, north, up])
+    offsets = (-nx * ny, -nx, -1, 0, 1, nx, nx * ny)
+    dp = prepare_diags(diags, n, block_rows)
+    if np.dtype(dtype) == np.dtype(np.float64):
+        return DIAPaddedOperatorDS(offsets, dp, jnp.zeros_like(dp), n,
+                                   block_rows)
+    return DIAPaddedOperator(offsets, dp, n, block_rows)
+
+
 def laplacian_1d_eigs(n: int, k: int | None = None) -> np.ndarray:
     """Closed-form eigenvalues of laplacian_1d, ascending."""
     j = np.arange(1, n + 1)
@@ -90,6 +136,28 @@ def laplacian_2d_eigs(nx: int, ny: int | None = None, k: int | None = None) -> n
     ex = 2.0 - 2.0 * np.cos(np.arange(1, nx + 1) * np.pi / (nx + 1))
     ey = 2.0 - 2.0 * np.cos(np.arange(1, ny + 1) * np.pi / (ny + 1))
     ev = np.sort((ex[:, None] + ey[None, :]).ravel())
+    return ev if k is None else ev[:k]
+
+
+def laplacian_3d_eigs(nx: int, ny: int | None = None, nz: int | None = None,
+                      k: int | None = None) -> np.ndarray:
+    """Closed-form eigenvalues of the 7-point 3-D Laplacian, ascending.
+
+    For small k only the low-index corner of the (i,j,l) lattice can
+    contain the smallest combinations (eigenvalues are monotone in each
+    index), so the outer sum is truncated per axis."""
+    if ny is None:
+        ny = nx
+    if nz is None:
+        nz = nx
+    mx = nx if k is None else min(k + 1, nx)
+    my = ny if k is None else min(k + 1, ny)
+    mz = nz if k is None else min(k + 1, nz)
+    ex = 2.0 - 2.0 * np.cos(np.arange(1, mx + 1) * np.pi / (nx + 1))
+    ey = 2.0 - 2.0 * np.cos(np.arange(1, my + 1) * np.pi / (ny + 1))
+    ez = 2.0 - 2.0 * np.cos(np.arange(1, mz + 1) * np.pi / (nz + 1))
+    ev = np.sort((ex[:, None, None] + ey[None, :, None]
+                  + ez[None, None, :]).ravel())
     return ev if k is None else ev[:k]
 
 
