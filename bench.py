@@ -39,22 +39,36 @@ def _log(msg):
 
 
 def _timeit_chain(loop, x, iters, reps=3):
-    """loop(x, t) -> y (same shape as x); chains y->x with per-call t.
-    Returns (best_seconds_per_iter, replay_suspect)."""
+    """loop(x, t) -> (y, scalar); chains y->x with per-call t.
+
+    Timing is per-rep block_until_ready, VERIFIED by a final scalar
+    readback: the axon relay has been observed returning from
+    block_until_ready before execution completed (a whole pass read
+    0.006 ms/iter and the backlog drained at the next D2H) — if the
+    drain after the last rep exceeds the measured total, the block-based
+    numbers lied and the honest average (total wall incl. drain) is used.
+    Returns (seconds_per_iter, replay_suspect)."""
     import jax
     import jax.numpy as jnp
 
-    y = loop(x, jnp.float32(1e-6))
+    y, s = loop(x, jnp.float32(1e-6))
     jax.block_until_ready(y)
+    float(s)  # drain everything up to here
     ts = []
+    t_all0 = time.perf_counter()
     for k in range(reps):
         t0 = time.perf_counter()
-        y = loop(y, jnp.float32((k + 2) * 1e-6))
+        y, s = loop(y, jnp.float32((k + 2) * 1e-6))
         jax.block_until_ready(y)
         ts.append(time.perf_counter() - t0)
+    float(s)  # force completion of the whole chain
+    t_total = time.perf_counter() - t_all0
     ts = sorted(ts)
     suspect = ts[-1] > 5 * ts[0]
     best = ts[len(ts) // 2] if suspect else ts[0]
+    if t_total > 2.0 * sum(ts) + 0.1:
+        # block_until_ready under-reported: fall back to the drained wall
+        return t_total / reps / iters, True
     return best / iters, suspect
 
 
@@ -89,18 +103,27 @@ def main():
         mult = A.mult
         out["spmv_kernel"] = "xla-roll"
 
-    def spmv_loop_fn(mult):
-        @jax.jit
-        def loop(x, t):
-            x = x * (1.0 + t)  # vary inputs: no relay replay, no fixpoint
-            def body(i, v):
-                y = mult(v)
-                return y / jnp.linalg.norm(y)
-            return jax.lax.fori_loop(0, ITERS, body, x)
-        return loop
+    from functools import partial as _partial
+
+    @jax.jit
+    def _op_loop(opx, x, t):
+        # operator as a TRACED pytree arg: closure capture would embed the
+        # diagonal arrays as HLO constants (downloaded through the relay
+        # and re-uploaded to the compiler — measured failure mode)
+        multx = opx.mult2d if hasattr(opx, "mult2d") else opx.mult
+        x = x * (1.0 + t)  # vary inputs: no relay replay, no fixpoint
+        def body(i, v):
+            y = multx(v)
+            return y / jnp.linalg.norm(y)
+        y = jax.lax.fori_loop(0, ITERS, body, x)
+        yf = y.reshape(-1)
+        return y, jnp.vdot(yf[1024:1032], yf[1024:1032]).real
+
+    def spmv_loop_fn(opx):
+        return _partial(_op_loop, opx)
 
     _log("compiling spmv loop...")
-    spmv_loop = spmv_loop_fn(mult)
+    spmv_loop = spmv_loop_fn(op_b)
     dt1, sus1 = _timeit_chain(spmv_loop, x, ITERS)
     _log(f"spmv pass 1: {dt1*1e3:.3f} ms/iter (replay_suspect={sus1})")
 
@@ -119,7 +142,7 @@ def main():
         y_ref[:] = acc
 
     @jax.jit
-    def stream_loop(x, t):
+    def stream_loop_impl(dp_cal, x, t):
         x = x * (1.0 + t)
         def body(i, v):
             y = pl.pallas_call(
@@ -139,7 +162,12 @@ def main():
                 interpret=jax.default_backend() != "tpu",
             )(v, dp_cal)
             return y / jnp.linalg.norm(y)
-        return jax.lax.fori_loop(0, ITERS, body, x)
+        y = jax.lax.fori_loop(0, ITERS, body, x)
+        yf = y.reshape(-1)
+        return y, jnp.vdot(yf[1024:1032], yf[1024:1032]).real
+
+    def stream_loop(x, t):
+        return stream_loop_impl(dp_cal, x, t)
 
     _log("calibrating stream speed-of-light...")
     xs = jnp.ones(((nblk + 2) * Rb, LANES), dtype)
@@ -167,7 +195,7 @@ def main():
                       offs, shape=(n2, n2), format="csr").astype(dtype)
         opg = GELLPaddedOperator.from_scipy(Am, block_rows=128)
         xg = opg.pad2d(jnp.ones((n2,), dtype))
-        gell_loop = spmv_loop_fn(opg.mult2d)
+        gell_loop = spmv_loop_fn(opg)
         _log("compiling hybrid-ELL loop...")
         dtg, sus_g = _timeit_chain(gell_loop, xg, ITERS)
         out["aij_nnz_per_s"] = Am.nnz / dtg
@@ -189,7 +217,7 @@ def main():
         A64 = laplacian_2d(side, side, dtype=np.float64)
         opds = DIAPaddedOperatorDS.from_dia(A64)
         x64 = opds.pad2d(jnp.ones((n,), np.float64))
-        ds_loop = spmv_loop_fn(opds.mult2d)
+        ds_loop = spmv_loop_fn(opds)
         _log("compiling f64 double-single loop...")
         dtds, sus_d = _timeit_chain(ds_loop, x64, ITERS)
         out["spmv_f64_nnz_per_s"] = nnz / dtds
@@ -395,7 +423,8 @@ def _flagship(out, budget_s, _log):
     # lambda_1 ~ 6e-4 that is ~3e-4, far above the 1e-8 target, so the
     # light mode cannot certify this tolerance (measured: eigenvalues
     # exact to 2e-11 but true residuals 2e-4)
-    cyc = get_ks_hep_cycle(op, key, ncv, "smallest", reorth="full")
+    cyc = get_ks_hep_cycle(op, key, ncv, "smallest", reorth="full",
+                           donate=True)
 
     _log("flagship: compiling the f64 cycle (remote f64 compiles are "
          "slow — minutes)...")

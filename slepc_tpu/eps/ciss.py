@@ -84,12 +84,37 @@ class CISS(EPSSolver):
             eps.its = it + 1
             BV = V if Bs is None else (Bs @ V if sparse else np.asarray(Bs) @ V)
             if mode == "batched":
-                from ..parallel.tasks import batched_shifted_solves
+                from ..parallel.tasks import (batched_shifted_solves,
+                                              batched_shifted_solves_adaptive)
 
                 tol_in = max(eps.tol * 1e-2, 1e-12)
-                Yall = np.asarray(batched_shifted_solves(
-                    A, B, z, BV, tol=tol_in,
-                    mesh=getattr(eps, "ciss_task_mesh", None)))
+                if getattr(eps, "ciss_task_mesh", None) is None:
+                    # ADAPTIVE per-point tolerances: point j's solve error
+                    # enters the moments as w_j z_j^k E_j, so points with
+                    # small |w_j z_j^k| may be solved proportionally
+                    # looser without moving S_k (reference contour
+                    # machinery role, slepccontour.c:22-118); bucketed
+                    # solves turn that into genuinely fewer matvecs.
+                    # ciss_adaptive=False keeps one fixed-tol bucket (the
+                    # counter stays available for A/B).
+                    if getattr(eps, "ciss_adaptive", True):
+                        zmag = np.maximum(np.abs(z), 1.0) ** max(M - 1, 0)
+                        contrib = np.abs(w) * zmag
+                        contrib = np.maximum(contrib, contrib.max() * 1e-12)
+                        tols = np.clip(tol_in * contrib.max() / contrib,
+                                       tol_in, 1e-3)
+                        nbk = 3
+                    else:
+                        tols = np.full(len(z), tol_in)
+                        nbk = 1
+                    Yall, info = batched_shifted_solves_adaptive(
+                        A, B, z, BV, tols=tols, nbuckets=nbk)
+                    eps.ciss_inner_iters = info["inner_iters"]
+                    eps.ciss_inner_buckets = info["buckets"]
+                else:
+                    Yall = np.asarray(batched_shifted_solves(
+                        A, B, z, BV, tol=tol_in,
+                        mesh=getattr(eps, "ciss_task_mesh", None)))
                 # stall detection: iterative point solves near an
                 # eigenvalue of the pencil are ill-conditioned and may
                 # return garbage at the fixed tolerance; verify each

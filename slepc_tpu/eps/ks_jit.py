@@ -61,16 +61,20 @@ def _resolve_orth(op, orth: str) -> str:
 
 def get_ks_hep_cycle(op, key, ncv: int, which: str = "smallest",
                      passes: int = 2, reorth_period: int = 1,
-                     reorth: str = "full", nsel: int = 0, orth: str = "auto"):
+                     reorth: str = "full", nsel: int = 0, orth: str = "auto",
+                     donate: bool = False):
     """Restart cycle bound to ``op``; call as ``cycle(V, H, j0, tol,
-    nlock=0)``.  The underlying jitted program caches on shapes/statics."""
+    nlock=0)``.  The underlying jitted program caches on shapes/statics.
+    donate=True reuses the V/H input buffers in place (production solve
+    loops; the caller must not touch the passed-in V/H afterwards)."""
     orth = _resolve_orth(op, orth)
 
     def cycle(V, H, j0, tol, nlock=0):
-        return _hep_cycle_impl(op, V, H, j0, tol, key, jnp.asarray(nlock),
-                               ncv=ncv, which=which, passes=passes,
-                               reorth_period=reorth_period, reorth=reorth,
-                               nsel=nsel, orth=orth)
+        impl = _hep_cycle_impl_don if donate else _hep_cycle_impl
+        return impl(op, V, H, j0, tol, key, jnp.asarray(nlock),
+                    ncv=ncv, which=which, passes=passes,
+                    reorth_period=reorth_period, reorth=reorth,
+                    nsel=nsel, orth=orth)
 
     return cycle
 
@@ -104,9 +108,7 @@ def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
                            nsel=nsel, orth=orth)
 
 
-@partial(jax.jit, static_argnames=("ncv", "which", "passes",
-                                   "reorth_period", "reorth", "nsel", "orth"))
-def _hep_cycle_impl(op, V, H, j0, tol, key, nlock, *, ncv: int, which: str,
+def _hep_cycle_body(op, V, H, j0, tol, key, nlock, *, ncv: int, which: str,
                     passes: int, reorth_period: int, reorth: str, nsel: int,
                     orth: str):
     use_pallas = orth == "pallas"
@@ -383,6 +385,17 @@ def _hep_cycle_impl(op, V, H, j0, tol, key, nlock, *, ncv: int, which: str,
         Hnew = jax.lax.dynamic_update_slice(Hnew, arrow[None, :], (kl, 0))
 
         return V, Hnew, kl, k2, theta, errest, beta
+
+
+_STATICS = ("ncv", "which", "passes", "reorth_period", "reorth", "nsel",
+            "orth")
+_hep_cycle_impl = jax.jit(_hep_cycle_body, static_argnames=_STATICS)
+# donating variant for production solve loops: V/H buffers are reused
+# in place, halving peak HBM (a 10M-row ncv=64 f64 basis is 5.4 GB; the
+# non-donating cycle OOMed a 16 GB chip).  Callers must not reuse the
+# V/H they passed in.
+_hep_cycle_impl_don = jax.jit(_hep_cycle_body, static_argnames=_STATICS,
+                              donate_argnums=(1, 2))
 
 
 def get_ks_hep_cycle_blocked(op, key, ncv: int, b: int,

@@ -76,9 +76,15 @@ class FN(metaclass=_FNMeta):
 
 
 class FNExp(FN):
-    """exp(x).  Methods: 0 = scipy expm (Padé s&s), 1 = own Padé
-    scaling-and-squaring (the reference's default algorithm, fnexp.c:33),
-    2 = Hermitian eigendecomposition fast path."""
+    """exp(x).  Methods (reference method table fnexp.c:1656-1664):
+    0 = scipy expm (Al-Mohy–Higham scaling & squaring — the reference's
+        Higham [m/m] Padé role, fnexp.c:797),
+    1 = own Padé scaling-and-squaring (fnexp.c:33 role),
+    2 = Hermitian eigendecomposition fast path (ours),
+    3 = scaled & squared SUBDIAGONAL Padé, partial-fraction form
+        (Güttel–Nakatsukasa SIMAX 2016; fnexp.c:410 role) — robust for
+        non-normal A with large norm,
+    4 = same, product (root-factored) form."""
 
     def _f(self, x):
         return np.exp(x)
@@ -91,6 +97,9 @@ class FNExp(FN):
         if self.method == 2:
             w, V = np.linalg.eigh(0.5 * (A + A.conj().T))
             return (V * np.exp(w)) @ V.conj().T
+        if self.method in (3, 4):
+            return _expm_subdiag_pade(
+                A, form="pf" if self.method == 3 else "prod")
         return sla.expm(A)
 
 
@@ -109,8 +118,10 @@ class FNLog(FN):
 
 
 class FNSqrt(FN):
-    """sqrt(x).  Methods: 0 = scipy sqrtm (Schur), 1 = Denman–Beavers
-    iteration (reference impls/sqrt method tables)."""
+    """sqrt(x).  Methods (reference method table fnsqrt.c:369-374):
+    0 = scipy sqrtm (Schur), 1 = Denman–Beavers (pair form),
+    2 = Denman–Beavers PRODUCT form, 3 = Newton–Schulz (inverse-free;
+    needs ||I - A|| < 1 after scaling), 4 = Sadeghi iteration."""
 
     def _f(self, x):
         return np.sqrt(x.astype(complex) if np.any(np.real(x) < 0) else x)
@@ -121,6 +132,12 @@ class FNSqrt(FN):
     def _fmat(self, A):
         if self.method == 1:
             return _sqrtm_db(A)
+        if self.method == 2:
+            return _sqrtm_db_product(A)
+        if self.method == 3:
+            return _sqrtm_newton_schulz(A)
+        if self.method == 4:
+            return _sqrtm_sadeghi(A)
         F = sla.sqrtm(np.asarray(A))
         return _realify(F, A)
 
@@ -349,6 +366,165 @@ def _realify(F, A):
         if np.linalg.norm(F.imag, 1) <= 1e-12 * max(np.linalg.norm(F.real, 1), 1e-300):
             return F.real
     return F
+
+
+def _sexpm_params(nrm: float):
+    """Scaling s and subdiagonal-Padé degrees (k, m) as a function of the
+    1-norm — the published selection table of the sexpm algorithm
+    (Güttel & Nakatsukasa, "Scaled and Squared Subdiagonal Padé
+    Approximation for the Matrix Exponential", SIMAX 37(1), 2016;
+    reference fnexp.c:131)."""
+    if nrm > 1:
+        for bound, skm in ((200, (4, 5, 4)), (1e4, (4, 4, 5)),
+                           (1e6, (4, 3, 4)), (1e9, (3, 3, 4)),
+                           (1e11, (2, 3, 4)), (1e12, (2, 2, 3)),
+                           (1e14, (2, 1, 2))):
+            if nrm < bound:
+                return skm
+        return 1, 1, 2
+    for bound, skm in ((0.5, (4, 4, 3)), (0.3, (3, 4, 3)),
+                       (0.15, (2, 4, 3)), (0.07, (1, 4, 3)),
+                       (0.01, (0, 4, 3)), (3e-4, (0, 3, 2)),
+                       (1e-5, (0, 3, 0)), (1e-8, (0, 2, 0))):
+        if nrm > bound:
+            return skm
+    return 0, 1, 0
+
+
+def _exp_pade_coeffs(k: int, m: int):
+    """(k, m) Padé numerator/denominator of exp, coefficients
+    high-to-low (np.polyval order): p(x)/q(x) = exp(x) + O(x^{k+m+1})."""
+    p = [math.factorial(k + m - j) * math.factorial(k)
+         / (math.factorial(k + m) * math.factorial(j)
+            * math.factorial(k - j)) for j in range(k + 1)]
+    q = [math.factorial(k + m - j) * math.factorial(m)
+         / (math.factorial(k + m) * math.factorial(j)
+            * math.factorial(m - j)) * (-1) ** j for j in range(m + 1)]
+    return np.array(p[::-1]), np.array(q[::-1])
+
+
+def _expm_subdiag_pade(A, form: str = "pf"):
+    """Scaled & squared subdiagonal Padé matrix exponential
+    (Güttel–Nakatsukasa 2016; reference fnexp.c:410 role).
+
+    1. shift A by its rightmost eigenvalue (largest real part -> ~0);
+    2. pick (s, k, m) from the 1-norm (published sexpm table);
+    3. evaluate the (k, m) Padé of exp at A/2^s either in
+       partial-fraction form (``pf``: residues/poles computed
+       numerically from the Padé polynomials) or in product form
+       (``prod``: interleaved root factors and solves);
+    4. square s times and undo the shift.
+    """
+    A = np.asarray(A)
+    n = A.shape[0]
+    ev = np.linalg.eigvals(A)
+    shift = float(np.max(ev.real))
+    As = A.astype(complex) - shift * np.eye(n)
+    nrm = float(np.linalg.norm(As, 1))
+    s, k, m = _sexpm_params(nrm)
+    As = As / (2.0 ** s)
+    p, q = _exp_pade_coeffs(k, m)
+    if form == "prod" and m > 0:
+        # r(A) = c * prod(A - zp_i) * prod(A - zq_i)^{-1}, factors
+        # interleaved so intermediate norms stay moderate
+        zp = np.roots(p) if k > 0 else np.array([])
+        zq = np.roots(q)
+        F = np.eye(n, dtype=complex)
+        for i in range(max(k, m)):
+            if i < k:
+                F = (As - zp[i] * np.eye(n)) @ F
+            if i < m:
+                F = np.linalg.solve(As - zq[i] * np.eye(n), F)
+        # leading-coefficient ratio of the root factorizations:
+        # p(x) = p_lead prod(x - zp_i), q(x) = q_lead prod(x - zq_i),
+        # and all factors commute (polynomials in the same A)
+        F = F * (p[0] / q[0])
+    elif m > 0:
+        # partial fractions: r(x) = rem(x) + w_i / (x - q_i) terms
+        if k >= m:
+            rem, _ = np.polydiv(p, q)
+            num = np.polysub(p, np.polymul(rem, q))
+        else:
+            rem, num = np.zeros(1), p
+        zq = np.roots(q)
+        dq = np.polyder(q)
+        F = _polyvalm(rem, As.astype(complex))
+        for qi in zq:
+            wi = np.polyval(num, qi) / np.polyval(dq, qi)
+            F = F + wi * np.linalg.inv(As - qi * np.eye(n))
+    else:
+        F = _polyvalm(p, As.astype(complex))
+    # distribute the shift into the pre-squaring factor: each squaring
+    # doubles the exponent, so F_final = e^shift (e^{As})^{2^s} with
+    # intermediates staying on the scale of the final answer
+    F = F * np.exp(shift / (2.0 ** s))
+    for _ in range(s):
+        F = F @ F
+    return _realify(F, A)
+
+
+def _sqrtm_db_product(A, maxit: int = 50, tol: float = 1e-13):
+    """Denman–Beavers iteration, PRODUCT form (reference fnsqrt.c
+    method 1 role): M tracks Y Z so only ONE inverse per step:
+      Y <- Y (I + M^{-1}) / 2,   M <- (I + (M + M^{-1})/2) / 2,
+    M -> I and Y -> sqrt(A)."""
+    A = np.asarray(A)
+    n = A.shape[0]
+    eye = np.eye(n, dtype=A.dtype)
+    Y = A.astype(complex)
+    M = A.astype(complex)
+    for _ in range(maxit):
+        Minv = np.linalg.inv(M)
+        Y = 0.5 * Y @ (np.eye(n) + Minv)
+        M = 0.5 * (np.eye(n) + 0.5 * (M + Minv))
+        if np.linalg.norm(M - np.eye(n), "fro") <= tol * max(
+                1.0, np.linalg.norm(M, "fro")):
+            break
+    return _realify(Y, A)
+
+
+def _sqrtm_newton_schulz(A, maxit: int = 100, tol: float = 1e-13):
+    """Inverse-free Newton–Schulz (reference fnsqrt.c method 2 role):
+      Y <- Y (3I - Z Y)/2,  Z <- (3I - Z Y)/2 Z,
+    converges when ||I - A/c|| < 1; A is pre-scaled by its Frobenius
+    norm to enlarge the basin."""
+    A = np.asarray(A)
+    n = A.shape[0]
+    c = float(np.linalg.norm(A, "fro"))
+    scale = c if c > 1 else 1.0
+    As = A.astype(complex) / scale
+    Y = As.copy()
+    Z = np.eye(n, dtype=complex)
+    eye3 = 3.0 * np.eye(n)
+    for _ in range(maxit):
+        T = 0.5 * (eye3 - Z @ Y)
+        Y = Y @ T
+        Z = T @ Z
+        if np.linalg.norm(eye3 / 3 - Z @ Y, "fro") <= tol * n:
+            break
+    return _realify(Y * np.sqrt(scale), A)
+
+
+def _sqrtm_sadeghi(A, maxit: int = 50, tol: float = 1e-13):
+    """Sadeghi iteration (reference fnsqrt.c method 3 role):
+      G = (5/16) I + (1/16) M (15 I - 5 M + M^2)
+      X <- X G,   M <- M (G^2)^{-1},
+    with X -> sqrt(M0) as M -> I; A pre-scaled by its Frobenius norm."""
+    A = np.asarray(A)
+    n = A.shape[0]
+    eye = np.eye(n, dtype=complex)
+    nrm = float(np.linalg.norm(A, "fro"))
+    scale = nrm if nrm > 1 else 1.0
+    M = A.astype(complex) / scale
+    X = eye.copy()
+    for _ in range(maxit):
+        G = (5.0 / 16.0) * eye + (1.0 / 16.0) * M @ (
+            15.0 * eye - 5.0 * M + M @ M)
+        X = X @ G
+        M = M @ np.linalg.inv(G @ G)
+        if np.linalg.norm(M - eye, "fro") <= tol * n:
+            break
+    return _realify(X * np.sqrt(scale), A)
 
 
 def fn_from_name(name: str, *args, **kw) -> FN:

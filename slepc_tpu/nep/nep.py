@@ -49,9 +49,10 @@ class NEP:
         self.two_sided = False
         from ..sys.options import apply_module_options
 
+        self.nleigs_full_basis = False
         apply_module_options(self, "nep_", int_keys=("nev", "max_it"),
                              float_keys=("tol",), str_keys=("type",),
-                             bool_keys=("two_sided",))
+                             bool_keys=("two_sided", "nleigs_full_basis"))
         self.eigenvalues = np.array([], dtype=complex)
         self.errests = np.array([])
         self._eigenvectors: Optional[np.ndarray] = None
@@ -626,6 +627,21 @@ class NEP:
                               for j in range(d)], dtype=complex)
         one_m_sx = np.array([1.0 if np.isinf(xi[j]) else 1.0 - sigma / xi[j]
                              for j in range(d)], dtype=complex)
+
+        if not getattr(self, "nleigs_full_basis", False):
+            # DEFAULT: compact TOAR-style basis — memory per Krylov vector
+            # independent of the interpolation degree d (reference
+            # nleigs.c default; nleigs-fullb.c is the full-basis OPTION,
+            # selectable here via nep.nleigs_full_basis = True /
+            # -nep_nleigs_fullbasis)
+            from .nleigs_toar import nleigs_toar_krylov
+
+            nleigs_toar_krylov(
+                self, sigma=sigma, d=d, beta=betax, s=six, bsig=bsig,
+                b_over_xi=b_over_xi, one_m_sx=one_m_sx, coeffD=coeffD,
+                Aj_ops=Aj_ops, Dmats=Dmats, ksp=ksp,
+                lu=lu if coeffD is None else None, rg=rg, center=c)
+            return
 
         def shinv_apply(zflat):
             """w = (A - sigma B)^{-1} B z on the d*n linearization:

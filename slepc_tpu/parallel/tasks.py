@@ -81,6 +81,113 @@ def batched_shifted_solves(A, B, z: np.ndarray, RHS, *, tol: float = 1e-10,
     return fn(zj)
 
 
+def _bicgstab_block_counted(A, B, zj, Rc, diagA, diagB, tol, maxiter):
+    """Vmapped block BiCGStab over contour points with an ITERATION
+    COUNTER in the carry (jax.scipy's solver reports none).  The (n, L)
+    block RHS is treated as one long vector (single Krylov sequence per
+    point — same contract as jax.scipy bicgstab on a matrix operand).
+    Returns (Y (npt, n, L), iters (npt,))."""
+
+    def solve_one(zk):
+        def mv(x):
+            bx = B.mult(x) if B is not None else x
+            return zk * bx - A.mult(x)
+
+        d = zk * diagB - diagA
+        dinv = jnp.where(jnp.abs(d) > 1e-300, 1.0 / d, 1.0)
+
+        def prec(x):
+            return dinv[:, None] * x
+
+        b = Rc
+        bnorm = jnp.linalg.norm(b)
+        atol2 = (tol * bnorm) ** 2
+        x0 = jnp.zeros_like(b)
+        r0 = b
+        rhat = r0
+
+        def vdot(a, c):
+            return jnp.sum(a.conj() * c)
+
+        def cond(st):
+            x, r, rh, p, v, rho, alpha, omega, k = st
+            return jnp.logical_and(k < maxiter,
+                                   vdot(r, r).real > atol2)
+
+        def body(st):
+            x, r, rh, p, v, rho, alpha, omega, k = st
+            rho1 = vdot(rh, r)
+            beta = (rho1 / jnp.where(rho == 0, 1, rho)) \
+                * (alpha / jnp.where(omega == 0, 1, omega))
+            p = r + beta * (p - omega * v)
+            phat = prec(p)
+            v = mv(phat)
+            denom = vdot(rh, v)
+            alpha = rho1 / jnp.where(denom == 0, 1, denom)
+            s = r - alpha * v
+            shat = prec(s)
+            t = mv(shat)
+            tt = vdot(t, t)
+            omega = vdot(t, s) / jnp.where(tt == 0, 1, tt)
+            x = x + alpha * phat + omega * shat
+            r = s - omega * t
+            return x, r, rh, p, v, rho1, alpha, omega, k + 1
+
+        one = jnp.ones((), Rc.dtype)
+        st = (x0, r0, rhat, jnp.zeros_like(b), jnp.zeros_like(b),
+              one, one, one, jnp.zeros((), jnp.int32))
+        x, r, *_, k = jax.lax.while_loop(cond, body, st)
+        return x, k
+
+    return jax.jit(jax.vmap(solve_one))(zj)
+
+
+def batched_shifted_solves_adaptive(A, B, z: np.ndarray, RHS, *,
+                                    tols: np.ndarray, maxiter: int = 1000,
+                                    nbuckets: int = 3):
+    """Per-point-tolerance contour solves: points are grouped into
+    tolerance decades and each bucket runs its own vmapped BiCGStab, so
+    loose points genuinely stop earlier (inside ONE vmap the while_loop
+    is lockstep — bucketing is what converts per-point tolerances into
+    saved matvecs).  Reference role: the per-point inner-KSP tolerance
+    control of the contour machinery (slepccontour.c:22-118,
+    ciss.c:283-316).
+
+    Returns (Y (npt, n, L) complex, info dict with per-bucket iteration
+    counts and the weighted total ``inner_iters``).
+    """
+    n, L = RHS.shape
+    npt = len(z)
+    zc = np.asarray(z, dtype=complex)
+    Rc = jnp.asarray(np.asarray(RHS, dtype=complex))
+    diagA = _op_diag(A, n)
+    diagB = _op_diag(B, n) if B is not None else jnp.ones(n)
+    tols = np.asarray(tols, dtype=float)
+    # expected-cost model: Krylov iterations ~ log(1/tol_j) / dist_j with
+    # dist_j = |Im z_j| (a spectrum-distance proxy for real-spectrum
+    # pencils).  Inside ONE vmap the while_loop is lockstep (cost = max
+    # over the batch), so points are bucketed by similar EXPECTED COST —
+    # that is what converts per-point tolerances into saved matvecs.
+    dist = np.maximum(np.abs(zc.imag), 1e-3 * np.maximum(np.abs(zc), 1.0))
+    est = np.log(1.0 / np.clip(tols, 1e-16, 1e-1)) / dist
+    order = np.argsort(est)
+    Y = np.empty((npt, n, L), dtype=complex)
+    info = {"buckets": [], "inner_iters": 0}
+    for bkt in range(nbuckets):
+        idx = order[bkt * npt // nbuckets: (bkt + 1) * npt // nbuckets]
+        if idx.size == 0:
+            continue
+        tol_b = float(tols[idx].min())
+        Yb, it = _bicgstab_block_counted(
+            A, B, jnp.asarray(zc[idx]), Rc, diagA, diagB, tol_b, maxiter)
+        Y[idx] = np.asarray(Yb)
+        it_max = int(np.max(np.asarray(it)))
+        info["buckets"].append({"points": int(idx.size), "tol": tol_b,
+                                "iters": it_max})
+        info["inner_iters"] += it_max * int(idx.size)
+    return Y, info
+
+
 def _op_diag(op, n: int):
     """Best-effort operator diagonal (for Jacobi preconditioning)."""
     from ..mat.linop import AIJOperator, DenseOperator, DIAOperator

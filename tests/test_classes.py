@@ -506,3 +506,52 @@ def test_st_filter_filtlan_base():
     assert abs(vals[1] - 0.5) < 1e-3 and abs(vals[3] - 0.5) < 1e-3
     assert abs(vals[2] - 1.0) < 1e-3
     assert abs(vals[0]) < 1e-3 and abs(vals[4]) < 1e-3
+
+
+# ------------------------------------------------------------- FN methods
+def test_fn_exp_method_parity():
+    """All FNExp methods agree with scipy expm at f64 on non-normal A
+    (reference method table fnexp.c:1656-1664; subdiagonal Padé =
+    Güttel-Nakatsukasa role)."""
+    import scipy.linalg as sla
+
+    rng = np.random.default_rng(0)
+    n = 24
+    A = np.diag(-np.linspace(0, 3, n)) \
+        + np.triu(rng.standard_normal((n, n)), 1) * 4
+    ref = sla.expm(A)
+    for meth, tol in ((0, 1e-13), (1, 1e-13), (3, 1e-10), (4, 1e-12)):
+        f = st.FNExp()
+        f.set_method(meth)
+        err = np.linalg.norm(f.eval_mat(A) - ref, "fro") \
+            / np.linalg.norm(ref, "fro")
+        assert err < tol, (meth, err)
+    # hermitian fast path
+    Ah = A + A.T
+    f = st.FNExp()
+    f.set_method(2)
+    err = np.linalg.norm(f.eval_mat(Ah) - sla.expm(Ah), "fro") \
+        / np.linalg.norm(sla.expm(Ah), "fro")
+    assert err < 1e-12
+
+
+def test_fn_sqrt_method_parity():
+    """All FNSqrt iteration variants produce F with F^2 = A
+    (reference method table fnsqrt.c:369-374)."""
+    rng = np.random.default_rng(1)
+    M = rng.standard_normal((20, 20))
+    A = M @ M.T + 20 * np.eye(20)
+    for meth in (0, 1, 2, 3, 4):
+        f = st.FNSqrt()
+        f.set_method(meth)
+        F = f.eval_mat(A)
+        err = np.linalg.norm(F @ F - A, "fro") / np.linalg.norm(A, "fro")
+        assert err < 1e-11, (meth, err)
+
+
+def test_fn_string_dispatch():
+    """FN('exp') constructs the registered subclass (slepc4py FNSetType
+    role)."""
+    assert isinstance(st.FN("exp"), st.FNExp)
+    assert st.FN("phi", k=2).k == 2
+    assert isinstance(st.FNExp(), st.FNExp)

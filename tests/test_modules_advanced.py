@@ -286,3 +286,23 @@ def test_pep_qslice_interval():
     pep.solve()
     assert pep.nconv == len(inside)
     np.testing.assert_allclose(np.sort(pep.eigenvalues), inside, rtol=1e-7)
+
+
+def test_nep_nleigs_compact_vs_fullbasis():
+    """The compact (TOAR-style) NLEIGS default agrees with the full-basis
+    option (reference nleigs.c default vs nleigs-fullb.c); the compact
+    basis memory is independent of the interpolation degree d."""
+    mats, fns = _delay_problem()
+    res = {}
+    for full in (False, True):
+        nep = st.NEP(nev=3, solver="nleigs", target=-1.0, tol=1e-10)
+        nep.nleigs_full_basis = full
+        nep.set_split_operators(mats, fns)
+        nep.set_rg(st.RGEllipse(center=-1.0, radius=1.5, vscale=0.5))
+        nep.solve()
+        assert nep.nconv >= 2
+        res[full] = np.sort_complex(nep.eigenvalues[:2])
+        for i in range(nep.nconv):
+            lam, x = nep.get_eigenpair(i)
+            assert _nep_res(mats, fns, complex(lam), np.asarray(x)) < 1e-8
+    np.testing.assert_allclose(res[False], res[True], rtol=1e-7)

@@ -41,3 +41,28 @@ def test_power_fused_deflation_orthogonality():
     V = eps.get_eigenvectors()
     G = V.conj().T @ V
     assert np.allclose(G, np.eye(3), atol=1e-6)
+
+
+def test_ciss_adaptive_tolerances():
+    """Adaptive per-point inner tolerances (moment-contribution driven,
+    cost-bucketed — reference contour machinery role slepccontour.c:22-118)
+    match fixed-tol accuracy with measurably fewer inner iterations."""
+    import slepc_tpu as st
+    from slepc_tpu.mat.generators import laplacian_1d_eigs
+
+    n = 200
+    A = st.laplacian_1d(n)
+    exact = laplacian_1d_eigs(n)
+    want = exact[(exact > 0.5) & (exact < 0.8)]
+    inner = {}
+    for adaptive in (True, False):
+        eps = st.EPS(A, problem_type="hep", solver="ciss", tol=1e-8)
+        eps.set_rg(st.RGEllipse(center=0.65, radius=0.15, vscale=0.4))
+        eps.ciss_solver = "batched"
+        eps.ciss_adaptive = adaptive
+        eps.solve()
+        got = np.sort(eps.eigenvalues[: eps.nconv].real)
+        assert eps.nconv == len(want)
+        assert np.abs(got - want).max() < 1e-8
+        inner[adaptive] = eps.ciss_inner_iters
+    assert inner[True] < 0.95 * inner[False], inner
