@@ -100,6 +100,23 @@ class _Davidson(EPSSolver):
     jd_correction = False
 
     def solve(self, eps: EPS) -> None:
+        # fused GD fast path (eps/gd_jit.py): standard HEP, Jacobi/identity
+        # preconditioner, single correction per iteration — one XLA program
+        # per subspace fill instead of ~15 relay dispatches per outer
+        # iteration.  eps.gd_fused = False forces the host loop.
+        if (not self.jd_correction and getattr(eps, "gd_fused", True)
+                and eps.B is None and eps.is_hermitian
+                and getattr(eps, "extraction", None) in (None, "", "ritz")
+                and max(1, int(getattr(eps, "davidson_bs", 1) or 1)) == 1):
+            from ..sys.sort import Which as _W
+
+            wmap = {_W.SMALLEST_REAL: "smallest", _W.LARGEST_REAL: "largest"}
+            w = wmap.get(eps.which)
+            if w is not None and not getattr(eps.A, "host_callback", False):
+                from .gd_jit import gd_hep_solve
+
+                if gd_hep_solve(eps, eps.A, w):
+                    return
         st = eps.st
         A, B = eps.A, eps.B
         n, ncv = eps.n, eps.ncv

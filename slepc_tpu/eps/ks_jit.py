@@ -596,16 +596,11 @@ def _hep_cycle_blocked_impl(op, V, H, jb0, tol, key, *, ncv: int, b: int,
         return V, Hnew, kl // b, k2, theta, errest, beta
 
 
-def ks_hep_solve(eps, op, which: str, Bip=None) -> bool:
-    """Host driver for the jitted cycle; fills the EPS result fields.
-
-    Returns True when this fast path applies and ran (standard Hermitian,
-    identity metric); False to fall back to the general loop.
-    """
-    if Bip is not None:
-        return False
-    n, ncv = eps.n, eps.ncv
-    dtype = np.dtype(eps.A.dtype)
+def _prepare_fast_operator(eps, op, dtype):
+    """Route an operator to its fastest TPU form (padded Pallas DIA /
+    double-single f64 DIA / hybrid ELL / sharded halo variants).
+    Returns (op, padded_or_None, n_flat)."""
+    n = eps.n
     padded = None
     from ..mat.linop import DIAOperator
     from ..sys.mesh import ROWS, get_mesh
@@ -670,6 +665,20 @@ def ks_hep_solve(eps, op, which: str, Bip=None) -> bool:
             padded = g
             op = padded
             n = padded.n_pad
+    return op, padded, n
+
+
+def ks_hep_solve(eps, op, which: str, Bip=None) -> bool:
+    """Host driver for the jitted cycle; fills the EPS result fields.
+
+    Returns True when this fast path applies and ran (standard Hermitian,
+    identity metric); False to fall back to the general loop.
+    """
+    if Bip is not None:
+        return False
+    ncv = eps.ncv
+    dtype = np.dtype(eps.A.dtype)
+    op, padded, n = _prepare_fast_operator(eps, op, dtype)
     bsize = int(getattr(eps, "block_size", 1) or 1)
     if bsize > 1:
         ncv = -(-ncv // bsize) * bsize  # block-aligned basis

@@ -66,3 +66,27 @@ def test_ciss_adaptive_tolerances():
         assert np.abs(got - want).max() < 1e-8
         inner[adaptive] = eps.ciss_inner_iters
     assert inner[True] < 0.95 * inner[False], inner
+
+
+def test_gd_fused_matches_host():
+    """Fused GD cycle (eps/gd_jit.py) matches the host Davidson loop on a
+    variable-diagonal HEP problem (reference gd/gd.c semantics)."""
+    import scipy.sparse as sp
+    import slepc_tpu as st
+    from slepc_tpu.sys.sort import Which
+
+    n = 500
+    d = np.linspace(1, 50, n)
+    A = sp.diags([d, -np.ones(n - 1), -np.ones(n - 1)], [0, -1, 1],
+                 format="csr")
+    exact = np.sort(np.linalg.eigvalsh(A.toarray()))[:3]
+    op = st.from_scipy(A)
+    for fused in (True, False):
+        eps = st.EPS(op, problem_type="hep", which=Which.SMALLEST_REAL,
+                     nev=3, solver="gd", ncv=20, max_it=2000, tol=1e-8)
+        eps.set_st(st.STPrecond([op]))
+        eps.gd_fused = fused
+        eps.solve()
+        assert eps.nconv >= 3, fused
+        got = np.sort(eps.eigenvalues[:3].real)
+        np.testing.assert_allclose(got, exact, rtol=1e-7)
