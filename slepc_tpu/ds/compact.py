@@ -114,7 +114,9 @@ def solve_arrow_hep(d: np.ndarray, e: np.ndarray, k: int
     if m == 1:
         return d.copy(), np.ones((1, 1))
     alpha, beta, Q0 = arrow_to_tridiag(d, e, k)
-    w, Z = sla.eigh_tridiagonal(alpha, beta)
+    w, Z = sla.eigh_tridiagonal(alpha, beta,
+                                lapack_driver="stevd" if len(alpha) >= 256
+                                else "auto")
     return w, Q0 @ Z
 
 

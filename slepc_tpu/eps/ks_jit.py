@@ -108,6 +108,44 @@ def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
                            nsel=nsel, orth=orth)
 
 
+
+_ROT_CHUNK_BYTES = 1 << 29  # rotate f64 bases larger than this in chunks
+
+
+def _rotate_basis(Q, V, ncv: int):
+    """V[:ncv] <- Q^T-combine of V[:ncv] (BVMultInPlace role).
+
+    f64 on TPU is emulated: a plain dot_general materializes the split
+    products as an (8, P, R, W) f32 temporary — 12.5 GB per temp at a
+    10M-row ncv=40 basis (three of them OOMed a 16 GB chip, XLA dump in
+    BENCH r3 notes).  Large f64 rotations therefore run CHUNKED over the
+    row axis, bounding the emulation temporary to ~1 GB."""
+    Qd = Q.astype(V.dtype)
+    big_f64 = (V.dtype == jnp.float64 and V.ndim == 3
+               and V[:ncv].size * 8 > _ROT_CHUNK_BYTES)
+    if not big_f64:
+        return jnp.einsum("kp,k...->p...", Qd, V[:ncv])
+    K, R, Wl = ncv, V.shape[1], V.shape[2]
+    # chunk so the 8x-split f64 emulation temp stays ~<= 1 GB
+    rows_per = max(8, int((1 << 30) // max(8 * K * Wl * 4, 1)) // 8 * 8)
+    rows_per = min(rows_per, R)
+    nch = -(-R // rows_per)
+    rows_per = -(-R // nch)
+    while R % rows_per:
+        rows_per -= 8
+    nch = R // rows_per
+    out = jnp.zeros((ncv, R, Wl), V.dtype)
+
+    def body(i, out):
+        Vc = jax.lax.dynamic_slice_in_dim(V[:ncv], i * rows_per, rows_per,
+                                          axis=1)
+        Oc = jnp.einsum("kp,krw->prw", Qd, Vc)
+        return jax.lax.dynamic_update_slice_in_dim(out, Oc, i * rows_per,
+                                                   axis=1)
+
+    return jax.lax.fori_loop(0, nch, body, out)
+
+
 def _hep_cycle_body(op, V, H, j0, tol, key, nlock, *, ncv: int, which: str,
                     passes: int, reorth_period: int, reorth: str, nsel: int,
                     orth: str):
@@ -373,7 +411,7 @@ def _hep_cycle_body(op, V, H, j0, tol, key, nlock, *, ncv: int, which: str,
 
         # ---- rotate and rebuild (BVMultInPlace + DSTruncate analog) ----
         # transposed layout: new rows = Q^T @ old rows (== columns V Q)
-        Vrot = jnp.einsum("kp,k...->p...", Q.astype(V.dtype), V[:ncv])
+        Vrot = _rotate_basis(Q, V, ncv)
         V = V.at[:ncv].set(Vrot)
         vres = V[ncv]
         V = jax.lax.dynamic_update_index_in_dim(V, vres, kl, axis=0)
@@ -581,7 +619,7 @@ def _hep_cycle_blocked_impl(op, V, H, jb0, tol, key, *, ncv: int, b: int,
         kl = jnp.minimum((kl + b - 1) // b * b, ncv - b)
         kl = jnp.maximum(kl, b)
 
-        Vrot = jnp.einsum("kp,k...->p...", Q.astype(V.dtype), V[:ncv])
+        Vrot = _rotate_basis(Q, V, ncv)
         V = V.at[:ncv].set(Vrot)
         Xres = jax.lax.dynamic_slice_in_dim(V, ncv, b, axis=0)
         V = jax.lax.dynamic_update_slice_in_dim(V, Xres, kl, axis=0)

@@ -304,3 +304,30 @@ def test_gd_harmonic_target():
     assert {4, 5} <= got
     for lam in eps.eigenvalues[:4].real:
         assert abs(lam - round(lam)) < 1e-7
+
+
+def test_bse_projected_variant():
+    """ProjectedBSE variant (reference ks-bse.c:403-723): half-size
+    two-basis Lanczos with the pseudo-inner-product orthogonalization;
+    agrees with the Gruning (M-metric) route on a complex definite BSE."""
+    rng = np.random.default_rng(0)
+    n = 60
+    Q = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    R = Q @ Q.conj().T / n + 3 * np.eye(n)
+    C = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    C = (C + C.T) * (0.5 / n)
+    Hd = np.block([[R, C], [-C.conj(), -R.conj()]])
+    wd = np.sort(np.linalg.eigvals(Hd).real)
+    pos = wd[wd > 1e-10]
+    H = st.create_bse(st.DenseOperator(R), st.DenseOperator(C))
+    eps = st.EPS(H, solver="bse", nev=4, ncv=24, tol=1e-9, max_it=300)
+    eps.bse_variant = "projected"
+    eps.solve()
+    assert eps.nconv >= 4
+    got = np.sort(eps.eigenvalues[:4].real)
+    np.testing.assert_allclose(got, pos[:4], rtol=1e-9)
+    assert eps.errests[:4].max() < 1e-8
+    # eigenvector residuals on the full 2n Hamiltonian
+    Z = eps._eigenvectors[:, :4]
+    res = np.linalg.norm(Hd @ Z - Z * eps.eigenvalues[:4][None, :], axis=0)
+    assert res.max() < 1e-8
