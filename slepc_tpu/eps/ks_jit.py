@@ -139,6 +139,8 @@ def _rotate_basis(Q, V, ncv: int):
     def body(i, out):
         Vc = jax.lax.dynamic_slice_in_dim(V[:ncv], i * rows_per, rows_per,
                                           axis=1)
+        # dot_general per chunk: the f64 split products ride the MXU and
+        # the emulation temp is bounded to ~1 GB by the chunking
         Oc = jnp.einsum("kp,krw->prw", Qd, Vc)
         return jax.lax.dynamic_update_slice_in_dim(out, Oc, i * rows_per,
                                                    axis=1)
@@ -167,10 +169,22 @@ def _hep_cycle_body(op, V, H, j0, tol, key, nlock, *, ncv: int, which: str,
         pall = use_pallas and V.ndim == 3 and V.shape[2] == 512 \
             and V.shape[1] % 8 == 0 and V.dtype == jnp.float32
 
+        # f64 on TPU is emulated: dot_general MATERIALIZES the f32
+        # split-product cross terms as an (8, K, R, W) temporary (15 GB
+        # at the 10M-row flagship -> compile OOM).  multiply+reduce
+        # fuses without materialization and f64 has no MXU to lose.
+        f64 = V.dtype == jnp.float64
+        red_axes = tuple(range(1, V.ndim))
+
         def vdots(V, w):  # (ncv+1,) of <V_k, w>
+            if f64:
+                return jnp.sum(V.conj() * w[None], axis=red_axes)
             return jnp.einsum("k...,...->k", V.conj(), w)
 
         def vcomb(c, V):  # sum_k c_k V_k
+            if f64:
+                cb = c.reshape((-1,) + (1,) * (V.ndim - 1))
+                return jnp.sum(cb * V, axis=0)
             return jnp.einsum("k,k...->...", c, V)
 
         def full_orth(V, w, mask):
