@@ -117,18 +117,111 @@ class DSGHEP(DS):
         return w, X  # X^H B X = I
 
 
+def _hz_hyperbolic_jacobi(T: np.ndarray, omega: np.ndarray,
+                          max_sweeps: int = 30, tol: float = 1e-14):
+    """Structure-preserving HZ-role iteration for the real symmetric /
+    signature pencil (T, Omega), Omega = diag(+-1).
+
+    One-sided trigonometric-hyperbolic Jacobi (Veselic; the role of the
+    reference's HZ iteration, impls/ghiep/hz.c): accumulate an
+    Omega-orthogonal G (G^T Omega G = Omega) with G^T T G diagonal —
+    same-sign index pairs use Givens rotations, opposite-sign pairs use
+    hyperbolic rotations.  The pencil's signature is preserved EXACTLY
+    and eigenvectors come out Omega-orthonormal, which the general eig
+    route cannot guarantee for heavily indefinite pencils.
+
+    Requires T DEFINITE (the definite-type/hyperbolic GHIEP regime):
+    then every hyperbolic pivot satisfies |2 T_ij| < T_ii + T_jj and the
+    sweep converges quadratically; indefinite T (possible complex pairs)
+    aborts with converged=False and the caller falls back to general eig.
+    Returns (w, G, converged): w real eigenvalues (T g = w Omega g).
+    """
+    A = np.array(T, dtype=float, copy=True)
+    n = A.shape[0]
+    om = np.asarray(omega).real
+    G = np.eye(n)
+    nrm0 = max(np.linalg.norm(A, "fro"), 1e-300)
+    for _ in range(max_sweeps):
+        off = np.sqrt(max(np.linalg.norm(A, "fro") ** 2
+                          - np.linalg.norm(np.diag(A)) ** 2, 0.0))
+        if off <= tol * nrm0:
+            w = np.diag(A) * om  # T g = w Omega g  with  g^T T g = diag
+            return w, G, True
+        for i in range(n - 1):
+            for j in range(i + 1, n):
+                aij = A[i, j]
+                if abs(aij) <= 1e-30:
+                    continue
+                aii, ajj = A[i, i], A[j, j]
+                if om[i] == om[j]:
+                    # trigonometric: standard symmetric Jacobi rotation
+                    tau = (ajj - aii) / (2.0 * aij)
+                    t = np.sign(tau) / (abs(tau) + np.hypot(1.0, tau)) \
+                        if tau != 0 else 1.0
+                    c = 1.0 / np.sqrt(1.0 + t * t)
+                    s = t * c
+                    R = np.array([[c, s], [-s, c]])
+                else:
+                    # hyperbolic: annihilate via [[ch, sh], [sh, ch]]
+                    # (Omega-orthogonal for opposite signs); requires
+                    # |2 aij| < |aii + ajj| (tanh(2y) = -2aij/(aii+ajj))
+                    den = aii + ajj
+                    if abs(2.0 * aij) >= abs(den):
+                        return np.diag(A) * om, G, False
+                    th2 = -2.0 * aij / den
+                    t = th2 / (1.0 + np.sqrt(1.0 - th2 * th2))  # tanh(y)
+                    ch = 1.0 / np.sqrt(1.0 - t * t)
+                    sh = t * ch
+                    R = np.array([[ch, sh], [sh, ch]])
+                idx = [i, j]
+                A[idx, :] = R.T @ A[idx, :]
+                A[:, idx] = A[:, idx] @ R
+                G[:, idx] = G[:, idx] @ R
+    off = np.sqrt(max(np.linalg.norm(A, "fro") ** 2
+                      - np.linalg.norm(np.diag(A)) ** 2, 0.0))
+    return np.diag(A) * om, G, off <= 1e-8 * nrm0
+
+
 class DSGHIEP(DS):
     """Generalized Hermitian-indefinite: T x = lambda Omega x with
     Omega = diag(+-1) (pseudo-Lanczos projected problem).
 
-    Reference: impls/ghiep/ (HZ/HR iterations).  Functional version: solve
-    the equivalent standard problem Omega T, then Omega-normalize; real
-    eigenvalues come out real, complex pairs are flagged.
+    Reference: impls/ghiep/ (HZ/HR iterations, hz.c).  Real pencils with
+    a real spectrum solve by the structure-preserving hyperbolic Jacobi
+    (:func:`_hz_hyperbolic_jacobi` — Omega-orthogonal congruence, exact
+    signature preservation, Omega-orthonormal eigenvectors); pencils
+    with complex pairs (hyperbolic pivot breakdown) fall back to the
+    general eig route with Omega-normalization.
     """
 
     def solve(self, T: np.ndarray, omega: np.ndarray):
         T = np.asarray(T)
         omega = np.asarray(omega).real
+        if not np.iscomplexobj(T):
+            Ts = 0.5 * (T + T.T)
+            if np.allclose(T, Ts, rtol=1e-12, atol=1e-14):
+                # J-Jacobi scope: T definite (either sign) — then every
+                # hyperbolic pivot is valid (aii+ajj >= 2 sqrt(aii ajj)
+                # > 2|aij|) and convergence is classical (Veselic); this
+                # is the definite-type/hyperbolic GHIEP regime the
+                # reference's HZ serves in pseudo-Lanczos restarts
+                sgn = 0
+                try:
+                    np.linalg.cholesky(Ts + 1e-14 * np.eye(len(Ts)))
+                    sgn = 1
+                except np.linalg.LinAlgError:
+                    try:
+                        np.linalg.cholesky(-Ts + 1e-14 * np.eye(len(Ts)))
+                        sgn = -1
+                    except np.linalg.LinAlgError:
+                        sgn = 0
+                if sgn:
+                    w, G, ok = _hz_hyperbolic_jacobi(sgn * Ts, omega)
+                    if ok:
+                        # columns satisfy g^T Omega g = +-1 by construction
+                        w = sgn * w
+                        order = np.argsort(w)
+                        return w[order], G[:, order]
         M = omega[:, None] * T  # Omega T
         w, X = np.linalg.eig(M)
         # Omega-normalize: x^H Omega x = +-1 where possible

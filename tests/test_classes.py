@@ -555,3 +555,45 @@ def test_fn_string_dispatch():
     assert isinstance(st.FN("exp"), st.FNExp)
     assert st.FN("phi", k=2).k == 2
     assert isinstance(st.FNExp(), st.FNExp)
+
+
+def test_dsghiep_hz_structure_preserving():
+    """Definite-type (T, Omega) pencils solve via the hyperbolic-Jacobi
+    HZ role (reference impls/ghiep/hz.c): exact signature preservation
+    and Omega-orthonormal eigenvectors."""
+    from slepc_tpu.ds.types import DSGHIEP, _hz_hyperbolic_jacobi
+
+    rng = np.random.default_rng(0)
+    n = 12
+    om = np.array([1.0] * 7 + [-1.0] * 5)
+    rng.shuffle(om)
+    G0 = np.eye(n)
+    for _ in range(80):
+        i, j = sorted(rng.choice(n, 2, replace=False))
+        if om[i] == om[j]:
+            th = rng.uniform(-1, 1)
+            R = np.array([[np.cos(th), np.sin(th)],
+                          [-np.sin(th), np.cos(th)]])
+        else:
+            y = rng.uniform(-0.4, 0.4)
+            R = np.array([[np.cosh(y), np.sinh(y)],
+                          [np.sinh(y), np.cosh(y)]])
+        G0[:, [i, j]] = G0[:, [i, j]] @ R
+    d = rng.uniform(0.5, 3.0, n)  # positive -> T SPD (definite type)
+    Gi = np.linalg.inv(G0)
+    T = Gi.T @ np.diag(d) @ Gi
+    lam_true = np.sort(d * om)
+    w, G, ok = _hz_hyperbolic_jacobi(T, om)
+    assert ok
+    assert np.abs(np.sort(w) - lam_true).max() < 1e-12
+    # Omega-orthogonality of the eigenvector basis (exact structure)
+    assert np.abs(G.T @ np.diag(om) @ G - np.diag(om)).max() < 1e-12
+    # the DS route picks HZ for definite T and returns real output
+    w2, X2 = DSGHIEP().solve(T, om)
+    assert not np.iscomplexobj(w2)
+    R2 = T @ X2 - (om[:, None] * X2) * w2[None, :]
+    assert np.abs(R2).max() < 1e-7 * np.linalg.norm(T)
+    # indefinite T (complex pairs possible) falls back without error
+    Tind = T.copy()
+    Tind[0, 0] = -Tind[0, 0]
+    DSGHIEP().solve(Tind, om)
