@@ -467,6 +467,17 @@ def main():
             # the failed attempt's multi-GB basis until the handler exits
             gc.collect()
 
+    # ---- device-side shift-invert: 1M-row GHEP, jitted CG inner solve
+    # fused into the KS cycle (VERDICT r3 item 5) ----
+    if on_tpu and os.environ.get("BENCH_SINVERT_TPU", "1") != "0":
+        try:
+            _sinvert_tpu(out, _log)
+        except Exception as e:
+            _log(f"sinvert_tpu failed: {e!r}")
+        import gc as _gc
+
+        _gc.collect()
+
     # ---- k=10 smallest via shift-and-invert (host-factorization
     # workload, CPU backend — the axon plugin cannot host-callback) ----
     cpu = None
@@ -510,7 +521,14 @@ def main():
 
 
 def _flagship(out, budget_s, _log, ncv=None):
-    """k=20 smallest eigenpairs, 10.35M-row 3-D Laplacian, tol 1e-8."""
+    """k=20 smallest eigenpairs, 10.35M-row 3-D Laplacian, tol 1e-8.
+
+    Default path: Chebyshev-amplified Krylov-Schur (eps/cheb_accel.py) —
+    the plain thick-restart run needs tens of thousands of columns against
+    the ~1e-5 relative gaps at the low end (round-3: 15,096 columns, 0
+    converged) while the amplified run converges in a few hundred.
+    BENCH_FLAGSHIP_CHEB=0 falls back to the plain cycle loop.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -523,6 +541,8 @@ def _flagship(out, budget_s, _log, ncv=None):
     n = nx * ny * nz
     nev, tol = 20, 1e-8
     ncv = ncv or int(os.environ.get("BENCH_FLAGSHIP_NCV", "48"))
+    if os.environ.get("BENCH_FLAGSHIP_CHEB", "1") != "0":
+        return _flagship_cheb(out, budget_s, _log, nx, ny, nz, nev, tol, ncv)
     _log(f"flagship: {n/1e6:.2f}M rows 3-D Laplacian, k={nev}, tol={tol}, "
          f"ncv={ncv}, f64 double-single kernel")
     op = laplacian_3d_device(nx, ny, nz, dtype=np.float64)
@@ -601,6 +621,139 @@ def _flagship(out, budget_s, _log, ncv=None):
         _log(f"flagship: max true resid {errs.max():.2e}, max |eig err| "
              f"{out['ks_tpu_max_eig_abserr']:.2e}, "
              f"correct={out['ks_tpu_correct']}")
+
+
+def _flagship_cheb(out, budget_s, _log, nx, ny, nz, nev, tol, ncv):
+    """Chebyshev-amplified flagship: the north-star configuration."""
+    import jax
+    import numpy as np
+
+    from slepc_tpu.eps.cheb_accel import ks_cheb_smallest
+    from slepc_tpu.mat.generators import (laplacian_3d_device,
+                                          laplacian_3d_eigs)
+
+    n = nx * ny * nz
+    degree = int(os.environ.get("BENCH_FLAGSHIP_DEG", "300"))
+    _log(f"flagship: {n/1e6:.2f}M rows 3-D Laplacian, k={nev}, tol={tol}, "
+         f"ncv={ncv}, cheb degree={degree}, f64 double-single kernel")
+    op = laplacian_3d_device(nx, ny, nz, dtype=np.float64)
+    t0 = time.perf_counter()
+    res = ks_cheb_smallest(op, nev=nev, tol=tol, ncv=ncv, degree=degree,
+                           key=jax.random.PRNGKey(12345),
+                           budget_s=budget_s,
+                           log=lambda m: _log(f"flagship: {m}"))
+    wall = time.perf_counter() - t0
+    st = res["stats"]
+    kfound = int(res["nconv"])
+    out["ks_tpu_rows"] = n
+    out["ks_tpu_nconv"] = kfound
+    out["ks_tpu_cycles"] = st["cycles"]
+    out["ks_tpu_cols"] = st["cols"]
+    out["ks_tpu_solve_s"] = wall
+    out["ks_tpu_eigenpairs_per_s"] = kfound / wall if wall > 0 else 0.0
+    out["ks_tpu_cheb_degree"] = degree
+    out["ks_tpu_cheb_lo"] = st["lo"]
+    out["ks_tpu_cheb_adaptations"] = st["adaptations"]
+    out["ks_tpu_probe_s"] = st["probe_s"]
+    th = np.asarray(res["lam"])[:kfound]
+    errs = np.asarray(res["resid"])[:kfound]
+    if kfound > 0:
+        exact = laplacian_3d_eigs(nx, ny, nz, k=nev)[:kfound]
+        out["ks_tpu_max_resid"] = float(errs.max())
+        out["ks_tpu_max_eig_abserr"] = float(
+            np.abs(np.sort(th) - exact).max())
+        out["ks_tpu_correct"] = bool(
+            kfound >= nev and errs.max() < 100 * tol
+            and np.abs(np.sort(th) - exact).max() < 1e-9)
+        _log(f"flagship: k={kfound} in {st['cycles']} cycles / "
+             f"{st['cols']} cols / {wall:.0f}s; max resid {errs.max():.2e}, "
+             f"max |eig err| {out['ks_tpu_max_eig_abserr']:.2e}, "
+             f"correct={out['ks_tpu_correct']}")
+    else:
+        out["ks_tpu_correct"] = False
+        _log(f"flagship: nothing converged in {wall:.0f}s")
+
+
+def _sinvert_tpu(out, _log, budget_s=600.0):
+    """1.06M-row GHEP (3-D Laplacian, diagonal SPD mass), sigma=0
+    shift-invert with the jitted fixed-iteration CG inner solve — the
+    whole restart cycle (extension + inner solves + projected eig) is one
+    XLA program.  Eigen-quality certified by true residuals on device."""
+    import jax
+    import jax.numpy as jnp
+
+    from slepc_tpu.eps.ks_jit import get_ks_hep_cycle
+    from slepc_tpu.mat.generators import laplacian_3d_device
+    from slepc_tpu.st.sinvert_jit import SinvertCGOperator
+
+    t0 = time.perf_counter()
+    nx, ny, nz = 100, 102, 104
+    n = nx * ny * nz
+    nev, tol, ncv = 10, 1e-8, 32
+    iters = int(os.environ.get("BENCH_SINVERT_ITERS", "800"))
+    _log(f"sinvert_tpu: {n/1e6:.2f}M-row GHEP, k={nev}, sigma=0, "
+         f"CG iters={iters} (f64 double-single kernel)")
+    Sop = laplacian_3d_device(nx, ny, nz, dtype=np.float64)
+    bd = 1.0 + 0.5 * jnp.sin(jnp.arange(n, dtype=jnp.float64) * 1e-3)
+    dhalf = Sop.pad2d(jnp.sqrt(bd))
+    op = SinvertCGOperator(Sop, dhalf=dhalf, iters=iters, method="cg")
+
+    key = jax.random.PRNGKey(4)
+    vshape = op.mask2d.shape
+    v0 = jax.random.normal(key, vshape, jnp.float64) * op.mask2d
+    v0 = v0 / jnp.linalg.norm(v0)
+    V = jnp.zeros((ncv + 1,) + vshape, jnp.float64).at[0].set(v0)
+    H = jnp.zeros((ncv + 1, ncv), jnp.float64)
+    cyc = get_ks_hep_cycle(op, key, ncv, "largest_magnitude",
+                           reorth="full", donate=True)
+    tc0 = time.perf_counter()
+    o = cyc(V, H, jnp.asarray(np.int32(0)), tol, 0)
+    jax.block_until_ready(o[3])
+    out["sinvert_tpu_compile_s"] = time.perf_counter() - tc0
+    _log(f"sinvert_tpu: compile+first cycle "
+         f"{out['sinvert_tpu_compile_s']:.0f}s")
+    V, H, j0, k2, theta = o[0], o[1], int(o[2]), int(o[3]), o[4]
+    cycles, cols = 1, ncv
+    while k2 < nev and cycles < 60:
+        if time.perf_counter() - t0 > budget_s:
+            _log("sinvert_tpu: budget hit")
+            break
+        cols += ncv - j0
+        o = cyc(V, H, jnp.asarray(np.int32(j0)), tol, k2)
+        V, H, j0, k2, theta = o[0], o[1], int(o[2]), int(o[3]), o[4]
+        cycles += 1
+    wall = time.perf_counter() - t0
+    kf = min(k2, nev)
+    th = np.asarray(theta)[:kf]
+    lam = 1.0 / th  # sigma = 0
+    out["sinvert_tpu_rows"] = n
+    out["sinvert_tpu_nconv"] = int(k2)
+    out["sinvert_tpu_cycles"] = cycles
+    out["sinvert_tpu_cols"] = cols
+    out["sinvert_tpu_time_s"] = wall
+    if kf > 0:
+        # true residuals ||A x - lam B x|| / |lam| on device,
+        # x = D^{-1/2} u
+        @jax.jit
+        def resid(op, V, lam):
+            def one(i, acc):
+                x = op.postprocess_vec(V[i])
+                r = op.Sop.mult2d(x) - lam[i] * (op.dhalf ** 2) * x
+                return acc.at[i].set(
+                    jnp.linalg.norm(r)
+                    / (jnp.abs(lam[i]) * jnp.linalg.norm(x)))
+            return jax.lax.fori_loop(0, kf, one,
+                                     jnp.zeros(kf, jnp.float64))
+
+        errs = np.asarray(resid(op, V, jnp.asarray(lam)))
+        out["sinvert_tpu_max_resid"] = float(errs.max())
+        out["sinvert_tpu_correct"] = bool(k2 >= nev
+                                          and errs.max() < 100 * tol)
+        _log(f"sinvert_tpu: k2={k2} in {cycles} cycles / {cols} cols / "
+             f"{wall:.0f}s; max true resid {errs.max():.2e}, "
+             f"correct={out['sinvert_tpu_correct']}")
+    else:
+        out["sinvert_tpu_correct"] = False
 
 
 if __name__ == "__main__":

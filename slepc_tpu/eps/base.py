@@ -167,6 +167,8 @@ class EPS:
             self.set_reorthogonalization(str(o["lanczos_reorthog"]))
         if "block_size" in o:
             self.block_size = int(o["block_size"])
+        if "cheb_degree" in o:  # Chebyshev-amplified smallest-end path
+            self.cheb_degree = int(o["cheb_degree"])
         if "partitions" in o:  # -eps_krylovschur_partitions analog
             self.slice_npart = int(o["partitions"])
         if "gd_blocksize" in o or "jd_blocksize" in o:

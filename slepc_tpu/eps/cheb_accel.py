@@ -1,0 +1,291 @@
+"""Chebyshev-accelerated smallest-eigenpair driver — the flagship path.
+
+Plain thick-restart Lanczos on the smallest end of a large Laplacian-class
+operator stalls: relative gaps ~1e-5 mean tens of thousands of columns
+(round-3 flagship: 15,096 columns, 0 converged).  This driver runs the
+jitted Krylov-Schur cycle on the monotone Chebyshev amplifier
+B = T_d(t(A)) (st/cheb.py) instead:
+
+  * smallest eigenvalues of A = largest of B, with exponentially amplified
+    relative gaps -> tens of columns per eigenpair instead of thousands;
+  * p is an exact polynomial: the Krylov relation, residual estimates and
+    locking machinery of the fused cycle apply unchanged;
+  * eigenvectors of A are eigenvectors of EVERY p(A), so the filter window
+    [lo, hi] adapts between restarts while converged rows stay locked
+    (their new diagonal entries are p_new(lambda), computed exactly);
+  * final certification is Rayleigh-Ritz + true residuals on the ORIGINAL
+    A, entirely on device.
+
+Window adaptation: lo must sit above the wanted part of the spectrum, which
+is unknown up front.  A one-cycle plain-Lanczos probe gives a safe starting
+lo (the smallest Ritz value overestimates lambda_1, so at least one
+eigenvalue lies below it); whenever convergence exhausts the eigenvalues
+below lo, the converged Rayleigh quotients extrapolate the next window.
+
+Reference role: spectral acceleration for EPSSolve on which=smallest —
+the STFILTER polynomial-filter seat (src/sys/classes/st/impls/filter/
+filter.c:18-40) repointed from interval slicing at the spectrum's low end.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.jacobi_eigh import eigh_small
+from ..st.cheb import ChebAmplifyOperator, cheb_value, gershgorin_upper
+from .ks_jit import (_hep_cycle_impl_don, _resolve_orth, _rotate_basis,
+                     get_ks_hep_cycle)
+
+
+@jax.jit
+def _rayleigh_diag(op, V, k):
+    """Rayleigh quotients <v_i, A v_i> of the first k rows (k traced)."""
+    mult = op.mult2d if V.ndim == 3 else op.mult
+    red = tuple(range(V.ndim - 1))
+
+    def body(i, lam):
+        v = V[i]
+        # multiply+reduce (not dot_general): f64 emulation must not
+        # materialize split-product temporaries at 10M rows
+        return lam.at[i].set(jnp.real(jnp.sum(v.conj() * mult(v))))
+
+    lam0 = jnp.full((V.shape[0],), jnp.inf, jnp.float64)
+    return jax.lax.fori_loop(0, k, body, lam0)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _rr_refine(op, V, *, k: int):
+    """Rayleigh-Ritz of A on span(V[:k]) + true residuals, on device.
+
+    Returns (tau ascending, resid, X) with X the k rotated Ritz rows.
+    The basis rows V[:k] must be orthonormal (they are: Krylov-Schur
+    keeps the locked block orthonormal).
+    """
+    mult = op.mult2d if V.ndim == 3 else op.mult
+    red_axes = tuple(range(1, V.ndim))
+    Vk = V[:k]
+    W = jax.lax.map(mult, Vk)  # sequential: k SpMVs, no vmap diag re-reads
+
+    def srow(i, S):
+        s = jnp.sum(Vk.conj() * W[i][None], axis=red_axes)
+        return S.at[i].set(jnp.real(s))
+
+    S = jax.lax.fori_loop(0, k, srow, jnp.zeros((k, k), jnp.float64))
+    S = 0.5 * (S + S.T)
+    tau, Y = eigh_small(S)  # ascending
+    X = _rotate_basis(Y, V, k)
+
+    def rbody(p, acc):
+        x = X[p]
+        r = mult(x) - tau[p].astype(X.dtype) * x
+        return acc.at[p].set(jnp.linalg.norm(r))
+
+    res = jax.lax.fori_loop(0, k, rbody, jnp.zeros((k,), jnp.float64))
+    return tau, res, X
+
+
+def _next_lo(lamA, k2: int, m_t: int, lo: float, hi: float,
+             degree: int) -> float:
+    """Window controller: move lo so ~(m_t+2) eigenvalues sit below it."""
+    if k2 <= 0:
+        lo_new = lo * 3.0
+    else:
+        lam = np.sort(np.asarray(lamA[:k2], np.float64))
+        if k2 >= 2 and lam[-1] > lam[0]:
+            g = (lam[-1] - lam[0]) / (k2 - 1)
+        else:
+            g = max(abs(lam[-1]) * 1e-3, (hi - lo) * 1e-6)
+        # linear extrapolation from the mean converged gap, plus a
+        # power-law guess (eigenvalue counts of elliptic operators grow
+        # like lam^{dim/2}; exponent 0.8 splits the 2-D/3-D cases) —
+        # take the larger, growth clamped to [1.5x, 12x]
+        lo_lin = lam[-1] + 1.3 * g * max(m_t + 2 - k2, 1)
+        lo_pow = lam[-1] * ((m_t + 2) / max(k2, 1)) ** 0.8 \
+            if lam[-1] > 0 else lo_lin
+        lo_new = float(np.clip(max(lo_lin, lo_pow), lo * 1.5, lo * 12.0))
+    lo_new = min(lo_new, hi / 4.0)
+    # f64 cosh overflows at ~710: keep the worst-case exponent bounded
+    # even for lambda -> -inf ... use lambda_min ~ 0 (SPD worst case) or
+    # the smallest converged value if we have one
+    lam1 = float(lamA[0]) if k2 > 0 else 0.0
+    for _ in range(60):
+        t1 = (hi + lo_new - 2.0 * min(lam1, lo_new)) / (hi - lo_new)
+        if degree * np.arccosh(max(t1, 1.0)) <= 600.0:
+            break
+        lo_new *= 0.8
+    return max(lo_new, lo * 1.0000001) if lo_new > lo else lo * 1.2
+
+
+def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
+                     degree: int = 300, key=None, budget_s: float = None,
+                     log=None, m_extra: int = None, tol_b: float = 1e-13,
+                     max_cycles: int = 2000, lo0: float = None,
+                     hi: float = None, probe: bool = True):
+    """k smallest eigenpairs of Hermitian ``op`` via Chebyshev-amplified
+    Krylov-Schur.  Returns a result dict (lam, resid, X, stats).
+
+    op must expose mult/mult2d (padded Pallas operators welcome); all
+    heavy arrays live on device for the whole solve.
+    """
+    t_start = time.perf_counter()
+    log = log or (lambda *_: None)
+    key = key if key is not None else jax.random.PRNGKey(202)
+    m_t = min(nev + (m_extra if m_extra is not None else max(3, nev // 4)),
+              ncv - 4)
+    dtype = np.dtype(op.dtype)
+    stats = {"cols": 0, "cycles": 0, "adaptations": 0, "certs": 0,
+             "probe_s": 0.0}
+
+    # ---- start basis ----------------------------------------------------
+    use2d = hasattr(op, "mask2d")
+    if use2d:
+        vshape = op.mask2d.shape
+        v0 = jax.random.normal(key, vshape, jnp.float64) * op.mask2d
+    else:
+        vshape = (op.shape[0],)
+        v0 = jax.random.normal(key, vshape, jnp.float64)
+    v0 = (v0 / jnp.linalg.norm(v0)).astype(dtype)
+    V = jnp.zeros((ncv + 1,) + vshape, dtype).at[0].set(v0)
+    H = jnp.zeros((ncv + 1, ncv), dtype)
+
+    # ---- bounds: hi from Gershgorin, lo from a plain one-cycle probe ----
+    if hi is None:
+        hi = gershgorin_upper(op)
+    if lo0 is None and probe:
+        t0 = time.perf_counter()
+        probe_cyc = get_ks_hep_cycle(op, key, ncv, "smallest",
+                                     reorth="full")
+        o = probe_cyc(V, H, jnp.asarray(np.int32(0)), 1e-30, 0)
+        th = np.asarray(o[4])  # ascending Ritz values; th[0] > lambda_1
+        lo0 = float(th[0] + 2e-3 * max(th[-1] - th[0], 1e-30))
+        stats["probe_s"] = time.perf_counter() - t0
+        stats["cols"] += ncv
+        log(f"cheb: probe ritz_min={th[0]:.4e} -> lo0={lo0:.4e}, "
+            f"hi={hi:.4e} ({stats['probe_s']:.1f}s)")
+        # keep the probe's best Ritz rows as the start subspace: row 0 is
+        # the current best approximation of the smallest eigenvector
+        V, H = o[0], jnp.zeros_like(H)
+        V = V.at[1:].set(0.0)
+        nrm = jnp.linalg.norm(V[0])
+        V = V.at[0].set(V[0] / jnp.where(nrm > 0, nrm, 1.0))
+    elif lo0 is None:
+        lo0 = hi * 1e-4
+    lo = float(lo0)
+
+    # ---- filtered cycles ------------------------------------------------
+    # the window-adapted operator changes between calls, so the jitted
+    # impl is invoked directly with bop as a TRACED argument (lo/hi are
+    # pytree leaves: adaptation does not recompile)
+    bop = ChebAmplifyOperator(op, lo, hi, degree)
+    orth = _resolve_orth(bop, "auto")
+
+    def cyc(bop, V, H, j0, tol, nlock):
+        return _hep_cycle_impl_don(bop, V, H, j0, tol, key, nlock,
+                                   ncv=ncv, which="largest", passes=2,
+                                   reorth_period=1, reorth="full", nsel=0,
+                                   orth=orth)
+
+    j0 = jnp.asarray(np.int32(0))
+    k2 = 0
+    k2_prev, stall = -1, 0
+    lamA = None
+    result = None
+    cur_tol_b = tol_b
+
+    def _set_window(lo_new, lamA_locked, k2):
+        """Move the filter window; rebuild H for the locked rows."""
+        nonlocal bop, lo
+        lo = float(lo_new)
+        bop = ChebAmplifyOperator(op, lo, hi, degree)
+        Hh = np.zeros((ncv + 1, ncv), dtype)
+        if k2 > 0:
+            pv = cheb_value(np.asarray(lamA_locked[:k2]), lo, hi, degree)
+            Hh[np.arange(k2), np.arange(k2)] = pv.astype(dtype)
+        return jnp.asarray(Hh)
+
+    while stats["cycles"] < max_cycles:
+        if budget_s is not None and time.perf_counter() - t_start > budget_s:
+            log("cheb: wall budget hit")
+            break
+        o = cyc(bop, V, H, j0, cur_tol_b, jnp.asarray(k2))
+        V, H = o[0], o[1]
+        newcols = ncv - int(j0)
+        j0 = jnp.asarray(np.int32(int(o[2])))
+        k2 = int(o[3])
+        stats["cycles"] += 1
+        stats["cols"] += newcols
+
+        if stats["cycles"] % 20 == 0:
+            log(f"cheb: cycle {stats['cycles']}, k2={k2}, lo={lo:.4e}, "
+                f"cols={stats['cols']}, "
+                f"{time.perf_counter() - t_start:.0f}s")
+
+        # ---- certification ----
+        if k2 >= m_t:
+            kc = min(k2, m_t)
+            stats["certs"] += 1
+            tau, res, X = _rr_refine(op, V, k=kc)
+            tau_np = np.asarray(tau)
+            res_np = np.asarray(res)
+            rel = res_np / np.maximum(np.abs(tau_np), 1e-300)
+            nok = int(np.sum(np.cumprod(rel[:nev] <= tol)))
+            log(f"cheb: certify k={kc}: nconv={nok}/{nev} "
+                f"(max rel resid of wanted {rel[:nev].max():.2e})")
+            if nok >= nev:
+                result = {"lam": tau_np[:nev], "resid": rel[:nev], "X": X,
+                          "lam_all": tau_np, "resid_all": rel}
+                break
+            # subspace not yet accurate enough: tighten the filtered
+            # tolerance and keep cycling (locked rows stay; k2 may drop)
+            cur_tol_b = max(cur_tol_b / 30.0, 5e-16)
+            log(f"cheb: tighten tol_b -> {cur_tol_b:.1e}")
+            del X
+            k2_prev, stall = -1, 0
+            continue
+
+        # ---- stall -> window adaptation ----
+        # early trigger: the next (unconverged) filtered Ritz value sits
+        # at bulk level, i.e. no amplified eigenvalue remains visible
+        # below the current window — no point grinding more cycles
+        theta_next = float(np.asarray(o[4])[min(k2, ncv - 1)])
+        exhausted = theta_next < 50.0
+        if k2 == k2_prev:
+            stall += 1
+        else:
+            stall = 0
+        k2_prev = k2
+        if stall >= 3 or (exhausted and k2 < m_t):
+            lamA = _rayleigh_diag(op, V, jnp.asarray(max(k2, 0)))
+            lamA_np = np.asarray(lamA[:max(k2, 1)])
+            lo_new = _next_lo(lamA_np, k2, m_t, lo, hi, degree)
+            log(f"cheb: adapt lo {lo:.4e} -> {lo_new:.4e} (k2={k2})")
+            H = _set_window(lo_new, lamA_np, k2)
+            j0 = jnp.asarray(np.int32(k2))
+            stats["adaptations"] += 1
+            stall = 0
+            k2_prev = -1
+
+    stats["wall_s"] = time.perf_counter() - t_start
+    stats["lo"] = lo
+    stats["hi"] = hi
+    stats["degree"] = degree
+    if result is None:
+        # best effort: certify whatever is locked
+        kc = max(min(k2, m_t), 1)
+        tau, res, X = _rr_refine(op, V, k=kc)
+        tau_np, res_np = np.asarray(tau), np.asarray(res)
+        rel = res_np / np.maximum(np.abs(tau_np), 1e-300)
+        nok = int(np.sum(np.cumprod(rel[: min(kc, nev)] <= tol)))
+        result = {"lam": tau_np[: min(kc, nev)],
+                  "resid": rel[: min(kc, nev)], "X": X,
+                  "lam_all": tau_np, "resid_all": rel}
+        result["nconv"] = nok
+    else:
+        result["nconv"] = nev
+    result["stats"] = stats
+    return result

@@ -108,11 +108,22 @@ class KrylovSchur(EPSSolver):
                      Which.LARGEST_MAGNITUDE: "largest_magnitude"}
         plain_shift = isinstance(st, STShift) and st.sigma == 0 and eps.B is None
         filtered = isinstance(st, STFilter)
-        if (hermitian and Bip is None and eps.deflation_space is None
+        from ..st.sinvert_jit import STSinvertDevice
+
+        # device iterative shift-invert: the diagonal-B symmetrization
+        # keeps the identity metric, so the jitted HEP path applies and
+        # target-closest eigenvalues are the transform's largest-magnitude
+        dev_sinv = isinstance(st, STSinvertDevice)
+        bip_fast = None if dev_sinv else Bip
+        if (hermitian and bip_fast is None and eps.deflation_space is None
                 and eps.rg is None and not indefinite and not use_harmonic
-                and (plain_shift or filtered) and eps.which in which_map
+                and (plain_shift or filtered or dev_sinv)
+                and (dev_sinv or eps.which in which_map)
                 and eps.arbitrary is None and not eps.two_sided):
-            w = which_map[eps.which]
+            if dev_sinv:
+                w = "largest_magnitude"
+            else:
+                w = which_map[eps.which]
             if filtered:
                 w = "largest"  # filter maps wanted interval to the top
             if ks_hep_solve(eps, op, w):

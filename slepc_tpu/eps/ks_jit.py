@@ -654,6 +654,10 @@ def _prepare_fast_operator(eps, op, dtype):
     Returns (op, padded_or_None, n_flat)."""
     n = eps.n
     padded = None
+    if hasattr(op, "n_pad") and hasattr(op, "pad2d"):
+        # already a padded-layout operator (device shift-invert tier,
+        # pre-built Pallas operators): it is its own fast form
+        return op, op, op.n_pad
     from ..mat.linop import DIAOperator
     from ..sys.mesh import ROWS, get_mesh
 
@@ -731,6 +735,33 @@ def ks_hep_solve(eps, op, which: str, Bip=None) -> bool:
     ncv = eps.ncv
     dtype = np.dtype(eps.A.dtype)
     op, padded, n = _prepare_fast_operator(eps, op, dtype)
+
+    # Chebyshev-amplified smallest-end path (eps.cheb_degree > 0): the
+    # monotone low-end filter turns badly-separated smallest eigenvalues
+    # into well-separated largest ones (eps/cheb_accel.py; STFILTER seat)
+    cheb_deg = int(getattr(eps, "cheb_degree", 0) or 0)
+    if (cheb_deg > 0 and which == "smallest"
+            and not getattr(eps.st, "requires_rayleigh", False)
+            and not np.issubdtype(dtype, np.complexfloating)):
+        from .cheb_accel import ks_cheb_smallest
+
+        res = ks_cheb_smallest(
+            op, nev=eps.nev, tol=eps.tol, ncv=ncv, degree=cheb_deg,
+            budget_s=getattr(eps, "cheb_budget_s", None))
+        k = int(res["nconv"])
+        eps.nconv = k
+        eps.its = res["stats"]["cycles"]
+        eps.eigenvalues = np.array(res["lam"][:k], copy=True)
+        eps.errests = np.array(res["resid"][:k], copy=True)
+        X = res["X"]
+        if padded is not None:
+            cols = [np.asarray(padded.unpad(X[i])) for i in range(k)]
+            Xh = np.stack(cols, axis=1) if k else np.zeros((eps.n, 0))
+        else:
+            Xh = np.asarray(X[:k]).T
+        eps._eigenvectors = Xh
+        eps.V = None
+        return True
     bsize = int(getattr(eps, "block_size", 1) or 1)
     if bsize > 1:
         ncv = -(-ncv // bsize) * bsize  # block-aligned basis
@@ -840,7 +871,11 @@ def ks_hep_solve(eps, op, which: str, Bip=None) -> bool:
     st = eps.st
     lam = st.back_transform(theta[:k2].astype(complex))
     if padded is not None and k2 > 0:
-        cols = [np.asarray(padded.unpad(V[i])) for i in range(k2)]
+        # transformed-space -> original-space vectors (e.g. the device
+        # shift-invert symmetrization's x = D^{-1/2} u)
+        post = getattr(padded, "postprocess_vec", None)
+        cols = [np.asarray(padded.unpad(post(V[i]) if post else V[i]))
+                for i in range(k2)]
         X = np.stack(cols, axis=1)
         nrmX = np.linalg.norm(X, axis=0)
         nrmX[nrmX == 0] = 1
