@@ -509,6 +509,9 @@ def _hep_cycle_blocked_impl(op, V, H, jb0, tol, key, *, ncv: int, b: int,
         opmult = getattr(op, "mult2d", None) if len(vshape) == 2 else None
         if opmult is None:
             opmult = op.mult
+        # block SpMV: diagonals read once per b columns when available
+        opmult_blk = getattr(op, "mult2d_block", None) \
+            if len(vshape) == 2 else None
         opmask = getattr(op, "mask2d" if len(vshape) == 2 else "mask", None)
 
         pall = use_pallas and V.ndim == 3 and V.shape[2] == 512 \
@@ -530,16 +533,18 @@ def _hep_cycle_blocked_impl(op, V, H, jb0, tol, key, *, ncv: int, b: int,
             W1 = Wb - jnp.einsum("km,k...->m...", C, Vact)
             return W1, jnp.einsum("k...,m...->km", Vact.conj(), W1)
 
-        def svqb_gram(G):
-            """Factors of clamped SVQB from a Gram matrix: returns
+        def svqb_factors(lam, U):
+            """Clamped SVQB factors from a precomputed eigendecomposition:
             (inv_half, half) with X = inv_half @ W orthonormal-ish and
             W = half @ X."""
-            lam, U = eigh_small(0.5 * (G + G.conj().T))
             lam_max = jnp.maximum(lam[-1], eps_mach)
             lam_c = jnp.maximum(lam, eps_mach ** 2 * lam_max)
             inv_half = (U * (lam_c ** -0.5)[None, :]) @ U.conj().T
             half = (U * (lam_c ** 0.5)[None, :]) @ U.conj().T
             return inv_half, half
+
+        def svqb_gram(G):
+            return svqb_factors(*eigh_small(0.5 * (G + G.conj().T)))
 
         def step(p, V, H, key):
             """One block step at STATIC block index p: every basis read
@@ -550,21 +555,24 @@ def _hep_cycle_blocked_impl(op, V, H, jb0, tol, key, *, ncv: int, b: int,
             m = (p + 1) * b
             Vact = V[:m]
             X = V[p * b: m]
-            Wb = jax.vmap(opmult)(X)
+            Wb = opmult_blk(X) if opmult_blk is not None \
+                else jax.vmap(opmult)(X)
             C1 = pdots(Vact, Wb)
             Wb, C2 = pupdate_dots(Vact, C1, Wb)
             Wb = pupdate(Vact, C2, Wb)
             C = C1 + C2
             # soft breakdown: near-rank-deficient block -> mix in fresh
-            # random directions, re-orthogonalize (rare; behind a cond)
+            # random directions, re-orthogonalize (rare; behind a cond).
+            # ONE eigh serves both the breakdown check (lam_min) and the
+            # first SVQB factor (was a separate eigh per step).
             G = pdots(Wb, Wb)
             G = 0.5 * (G + G.conj().T)
-            lam_min = eigh_small(G)[0][0]
+            lamG, UG = eigh_small(G)
             scale = jnp.maximum(jnp.linalg.norm(C), 1.0)
-            is_brk = lam_min.real < (eps_mach * scale) ** 2
+            is_brk = lamG[0].real < (eps_mach * scale) ** 2
 
             def refresh(args):
-                Wb, key = args
+                Wb, key, _, _, _ = args
                 key, sub = jax.random.split(key)
                 rnd = jax.random.normal(sub, (b,) + vshape,
                                         rdtype).astype(V.dtype)
@@ -574,17 +582,18 @@ def _hep_cycle_blocked_impl(op, V, H, jb0, tol, key, *, ncv: int, b: int,
                 for _ in range(2):
                     Cr = pdots(Vact, Wb)
                     Wb = pupdate(Vact, Cr, Wb)
-                return Wb, key
+                Gr = pdots(Wb, Wb)
+                Gr = 0.5 * (Gr + Gr.conj().T)
+                lamr, Ur = eigh_small(Gr)
+                return Wb, key, Gr, lamr, Ur
 
-            Wb, key = jax.lax.cond(is_brk, refresh, lambda a: a, (Wb, key))
+            Wb, key, G, lamG, UG = jax.lax.cond(
+                is_brk, refresh, lambda a: a, (Wb, key, G, lamG, UG))
             # SVQB^2 computed Gram-side: G1 = inv1 G inv1 is the Gram of
             # X1 = inv1 Wb, so the second factor needs no second panel
             # combine; X2 = (inv2 inv1) Wb in ONE combine, Wb = B X2 with
             # B = half1 half2 exact.
-            G = jax.lax.cond(is_brk, lambda Wb: pdots(Wb, Wb),
-                             lambda _: G, Wb)
-            G = 0.5 * (G + G.conj().T)
-            inv1, half1 = svqb_gram(G)
+            inv1, half1 = svqb_factors(lamG, UG)
             G1 = inv1 @ G @ inv1
             inv2, half2 = svqb_gram(G1)
             M = (inv2 @ inv1).astype(V.dtype)

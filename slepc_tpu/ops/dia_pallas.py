@@ -216,6 +216,91 @@ def dia_spmv_padded(offsets: Tuple[int, ...], dp, xp, n: int,
     return y
 
 
+def _dia_kernel2b(offsets: Tuple[int, ...], b: int, Rb: int, nblk: int,
+                  xm_ref, xc_ref, xp_ref, d_ref, y_ref):
+    """Block (multi-vector) variant of _dia_kernel2: the diagonal data is
+    read ONCE per grid step and applied to all b vectors — the b-SpMV of
+    the blocked BCGS2 cycle at 1/b of the per-column diagonal traffic
+    (a vmap over the single-vector kernel re-reads d_ref per vector)."""
+    i = pl.program_id(0)
+
+    @pl.when(jnp.logical_or(i == 0, i == nblk + 1))
+    def _():
+        y_ref[:] = jnp.zeros((b, Rb, W), y_ref.dtype)
+
+    @pl.when(jnp.logical_and(i > 0, i <= nblk))
+    def _():
+        x3 = jnp.concatenate([xm_ref[:], xc_ref[:], xp_ref[:]], axis=1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (b, Rb, W), 2)
+        acc = None
+        for k, off in enumerate(offsets):
+            q, r = divmod(off, W)
+            A = x3[:, Rb + q: 2 * Rb + q, :]
+            if r == 0:
+                shifted = A
+            else:
+                Bq = x3[:, Rb + q + 1: 2 * Rb + q + 1, :]
+                shift = np.int32(W - r)
+                rollA = pltpu.roll(A, shift, axis=2)
+                rollB = pltpu.roll(Bq, shift, axis=2)
+                shifted = jnp.where(col < W - r, rollA, rollB)
+            term = d_ref[k][None] * shifted
+            acc = term if acc is None else acc + term
+        y_ref[:] = acc
+
+
+@partial(jax.jit, static_argnames=("offsets", "n", "block_rows"))
+def dia_spmv_padded_block(offsets: Tuple[int, ...], dp, Xp, n: int,
+                          block_rows: int = 64):
+    """Block SpMV in the padded chained layout: Xp (b, (nblk+2)*Rb, W) ->
+    Yp same shape, halo blocks zeroed.  Diagonals stream once per block.
+
+    VMEM per grid step = (3 in + 1 out) * b*Rb*W*4 + nd*Rb*W*4 bytes;
+    the default Rb=64 keeps b=8 f32 at ~4.6 MB."""
+    nd = dp.shape[0]
+    b = Xp.shape[0]
+    Rb = block_rows
+    nblk = -(-n // (Rb * W))
+
+    def xspec(doff):
+        if doff < 0:
+            return pl.BlockSpec((b, Rb, W),
+                                lambda i: (i * 0, jnp.maximum(i - 1, i * 0),
+                                           i * 0),
+                                memory_space=pltpu.VMEM)
+        if doff > 0:
+            return pl.BlockSpec(
+                (b, Rb, W),
+                lambda i: (i * 0, jnp.minimum(i + 1, i * 0 + (nblk + 1)),
+                           i * 0), memory_space=pltpu.VMEM)
+        return pl.BlockSpec((b, Rb, W), lambda i: (i * 0, i, i * 0),
+                            memory_space=pltpu.VMEM)
+
+    y = pl.pallas_call(
+        partial(_dia_kernel2b, tuple(offsets), b, Rb, nblk),
+        grid=(nblk + 2,),
+        in_specs=[
+            xspec(-1), xspec(0), xspec(+1),
+            pl.BlockSpec((nd, Rb, W),
+                         lambda i: (i * 0,
+                                    jnp.minimum(jnp.maximum(i - 1, i * 0),
+                                                i * 0 + (nblk - 1)),
+                                    i * 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, Rb, W), lambda i: (i * 0, i, i * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, (nblk + 2) * Rb, W), Xp.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nd * n * b,
+            bytes_accessed=(dp.size + 3 * n * b) * Xp.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=_interp(),
+    )(Xp, Xp, Xp, dp)
+    return y
+
+
 def _halo_rows(offsets: Tuple[int, ...]) -> Tuple[int, int]:
     """Rows of x needed above/below the center block: q=floor(off/W) row
     shifts plus one carry row for the lane rotation."""
@@ -455,6 +540,12 @@ class DIAPaddedOperator:
 
     mult_h = mult  # symmetric use only (HEP fast path)
 
+    def mult2d_block(self, Xp):
+        """Block SpMV on (b, rows, W): diagonals stream ONCE for all b
+        columns (the blocked BCGS2 cycle's bandwidth lever; a vmap of
+        mult2d re-reads them per column)."""
+        return dia_spmv_padded_block(self.offsets, self.dp, Xp,
+                                     self.n_interior, self.block_rows)
 
     def pad(self, x):
         return pad_vec(jnp.asarray(x, self.dtype), self.n_interior,

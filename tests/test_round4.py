@@ -305,3 +305,23 @@ def test_eps_sinvert_device_interior_minres():
     assert eps.nconv >= 4
     got = np.sort(eps.eigenvalues[:4].real)
     assert np.abs(got - np.sort(ref)).max() < 1e-7
+
+
+# ---------------------------------------------------------------------------
+# Block DIA SpMV kernel (ops/dia_pallas.py dia_spmv_padded_block)
+# ---------------------------------------------------------------------------
+
+
+def test_dia_block_spmv_matches_vmap():
+    from slepc_tpu.ops.dia_pallas import DIAPaddedOperator
+
+    A = laplacian_2d(40, 41, dtype=np.float32)
+    op = DIAPaddedOperator.from_dia(A, block_rows=8)
+    rng = np.random.default_rng(5)
+    b = 4
+    X = jnp.stack([op.pad2d(jnp.asarray(
+        rng.standard_normal(A.shape[0]).astype(np.float32)))
+        for _ in range(b)])
+    Y_blk = op.mult2d_block(X)
+    Y_ref = jax.vmap(op.mult2d)(X)
+    assert np.abs(np.asarray(Y_blk) - np.asarray(Y_ref)).max() < 1e-6
