@@ -166,14 +166,24 @@ def main():
         yf = y.reshape(-1)
         return y, jnp.vdot(yf[1024:1032], yf[1024:1032]).real
 
+    stream_bytes = (nd * n + 2 * n) * 4
+
+    def measure_stream():
+        """Achievable-bandwidth sample; re-callable in a LATER time window
+        (the shared chip swings ~2x between windows — two samples pin
+        chip weather vs real regression, VERDICT r3 item 9).  Arrays are
+        device-generated, so a late re-run costs nothing to rebuild."""
+        dpc = jnp.ones((nd, nblk * Rb, LANES), dtype)
+        xs = jnp.ones(((nblk + 2) * Rb, LANES), dtype)
+        dt_s, sus = _timeit_chain(lambda x, t: stream_loop_impl(dpc, x, t),
+                                  xs, ITERS)
+        return stream_bytes / dt_s / 1e9, dt_s, sus
+
     def stream_loop(x, t):
         return stream_loop_impl(dp_cal, x, t)
 
     _log("calibrating stream speed-of-light...")
-    xs = jnp.ones(((nblk + 2) * Rb, LANES), dtype)
-    dt_stream, sus_s = _timeit_chain(stream_loop, xs, ITERS)
-    stream_bytes = (nd * n + 2 * n) * 4
-    out["stream_bw_gb_s"] = stream_bytes / dt_stream / 1e9
+    out["stream_bw_gb_s"], dt_stream, sus_s = measure_stream()
     _log(f"stream: {dt_stream*1e3:.3f} ms/iter = "
          f"{out['stream_bw_gb_s']:.0f} GB/s achievable "
          f"(replay_suspect={sus_s})")
@@ -449,7 +459,7 @@ def main():
             del opds, x64, xrp
         except NameError:
             pass
-        del x, xs, dp_cal
+        del x, dp_cal
         import gc
 
         gc.collect()
@@ -477,6 +487,17 @@ def main():
         import gc as _gc
 
         _gc.collect()
+
+    # ---- second stream-bandwidth sample, minutes after the first: the
+    # flagship/sinvert stages put it in a different time window ----
+    if on_tpu:
+        try:
+            bw2, dts2, sus2s = measure_stream()
+            out["stream_bw_gb_s_2"] = bw2
+            _log(f"stream window 2: {bw2:.0f} GB/s "
+                 f"(window 1 was {out['stream_bw_gb_s']:.0f})")
+        except Exception as e:
+            _log(f"stream window-2 sample failed: {e!r}")
 
     # ---- k=10 smallest via shift-and-invert (host-factorization
     # workload, CPU backend — the axon plugin cannot host-callback) ----

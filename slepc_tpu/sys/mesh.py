@@ -39,6 +39,53 @@ def make_row_mesh(devices=None) -> Mesh:
     return Mesh(devices.reshape(-1), (ROWS,))
 
 
+_distributed_initialized = False
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Multi-host (DCN) runtime initialization.
+
+    Reference role: the MPI world communicator every SLEPc object lives on
+    (SlepcInitialize, src/sys/slepcinit.c:255).  On TPU pods, one process
+    drives each host; ``jax.distributed.initialize`` wires them into one
+    runtime whose ``jax.devices()`` spans every chip.  Safe to call on a
+    single host (no-op unless coordination parameters are provided via
+    arguments or the standard JAX_COORDINATOR_ADDRESS / cloud-TPU
+    auto-detection).  Returns True when a multi-process runtime is live.
+
+    Sharding guidance (docs/tpu.md): keep the "rows" axis ordered so
+    neighboring row shards sit on ICI-adjacent chips of the same host —
+    the DIA halo exchange is a ring ppermute whose boundary traffic rides
+    ICI; only the ~2 shard-boundary rows per host cross DCN, and the
+    fused one-psum reductions cross DCN once per cycle.
+    """
+    global _distributed_initialized
+    if _distributed_initialized:
+        return jax.process_count() > 1
+    import os
+
+    explicit = coordinator_address is not None \
+        or os.environ.get("JAX_COORDINATOR_ADDRESS") \
+        or os.environ.get("COORDINATOR_ADDRESS")
+    if not explicit and num_processes is None:
+        return False  # single-process run: nothing to wire
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    _distributed_initialized = True
+    return jax.process_count() > 1
+
+
+def make_multihost_row_mesh() -> Mesh:
+    """1-D "rows" mesh over EVERY chip in the (possibly multi-host)
+    runtime, ordered host-major so each host owns a contiguous row range
+    (halo neighbors differ across DCN only at host boundaries)."""
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    return Mesh(np.asarray(devs).reshape(-1), (ROWS,))
+
+
 def get_mesh() -> Optional[Mesh]:
     return _mesh
 
