@@ -488,6 +488,15 @@ def main():
 
         _gc.collect()
 
+    # ---- host-orchestrated module families: one TPU wall-clock +
+    # dispatch-count sample each (NLEIGS, PEP-TOAR) so relay-latency
+    # regressions become visible (VERDICT r3 item 7) ----
+    if on_tpu and os.environ.get("BENCH_MODULES", "1") != "0":
+        try:
+            _module_timings(out, _log)
+        except Exception as e:
+            _log(f"module timings failed: {e!r}")
+
     # ---- second stream-bandwidth sample, minutes after the first: the
     # flagship/sinvert stages put it in a different time window ----
     if on_tpu:
@@ -693,6 +702,84 @@ def _flagship_cheb(out, budget_s, _log, nx, ny, nz, nev, tol, ncv):
     else:
         out["ks_tpu_correct"] = False
         _log(f"flagship: nothing converged in {wall:.0f}s")
+
+
+def _module_timings(out, _log):
+    """Host-orchestrated solver families on TPU: NLEIGS on a 100k-row
+    split-form delay problem, PEP-TOAR on a 250k-row quadratic.  These
+    loops dispatch per step through the ~1 ms relay and solve projected
+    problems on host — the numbers bound that cost (they are NOT fused
+    fast paths).  Event counts stand in for dispatch counts."""
+    import numpy as np
+
+    import slepc_tpu as stt
+    from slepc_tpu.mat.generators import laplacian_2d
+    from slepc_tpu.mat.linop import DIAOperator
+    from slepc_tpu.sys import events
+
+    # NEP / NLEIGS: 1-D delay problem  T(lam) = -lam I + A0 + e^-lam A1
+    try:
+        n = 100_000
+        h = np.pi / (n + 1)
+        main = np.full(n, -2.0 / (h * h))
+        offd = np.zeros(n)
+        offd[: n - 1] = 1.0 / (h * h)
+        offl = np.zeros(n)
+        offl[1:] = 1.0 / (h * h)
+        A0 = DIAOperator((-1, 0, 1), np.stack([offl, main, offd]))
+        xi = np.arange(1, n + 1) * h
+        b = 4.1 - xi * (1 - np.exp(xi - np.pi))
+        A1 = DIAOperator((0,), b[None, :])
+        mI = DIAOperator((0,), -np.ones((1, n)))
+        mats = [mI, A0, A1]
+        fns = [stt.FNRational([1.0, 0.0]), stt.FNRational([1.0]),
+               stt.FNExp()]
+        fns[2].set_scale(1.0, -1.0)
+        events.log_reset()
+        events.log_begin()
+        t0 = time.perf_counter()
+        nep = stt.NEP(nev=2, solver="nleigs", target=-1.0, tol=1e-8)
+        nep.set_split_operators(mats, fns)
+        nep.set_rg(stt.RGEllipse(center=-1.0, radius=1.5, vscale=0.5))
+        nep.solve()
+        out["nleigs_tpu_rows"] = n
+        out["nleigs_tpu_s"] = time.perf_counter() - t0
+        out["nleigs_tpu_nconv"] = int(nep.nconv)
+        out["nleigs_tpu_its"] = int(nep.its)
+        out["nleigs_tpu_dispatches"] = int(sum(
+            e["count"] for e in events._events.values())) \
+            if getattr(events, "_events", None) else 0
+        _log(f"nleigs_tpu: {out['nleigs_tpu_s']:.1f}s nconv={nep.nconv} "
+             f"its={nep.its} events={out['nleigs_tpu_dispatches']}")
+    except Exception as e:
+        _log(f"nleigs timing failed: {e!r}")
+
+    # PEP / TOAR: 250k-row damped quadratic (K + lam C + lam^2 M) x = 0
+    try:
+        side = 500
+        n2 = side * side
+        K = laplacian_2d(side, side, dtype=np.float64)
+        tau = 0.1 + 0.05 * np.sin(np.arange(n2) * 1e-2)
+        C = DIAOperator((0,), tau[None, :])
+        M = DIAOperator((0,), np.ones((1, n2)))
+        events.log_reset()
+        events.log_begin()
+        t0 = time.perf_counter()
+        pep = stt.PEP([K, C, M], nev=3, solver="toar",
+                      which="largest_magnitude", tol=1e-6)
+        pep.solve()
+        out["pep_toar_tpu_rows"] = n2
+        out["pep_toar_tpu_s"] = time.perf_counter() - t0
+        out["pep_toar_tpu_nconv"] = int(pep.nconv)
+        out["pep_toar_tpu_its"] = int(pep.its)
+        out["pep_toar_tpu_dispatches"] = int(sum(
+            e["count"] for e in events._events.values())) \
+            if getattr(events, "_events", None) else 0
+        _log(f"pep_toar_tpu: {out['pep_toar_tpu_s']:.1f}s "
+             f"nconv={pep.nconv} its={pep.its} "
+             f"events={out['pep_toar_tpu_dispatches']}")
+    except Exception as e:
+        _log(f"pep timing failed: {e!r}")
 
 
 def _sinvert_tpu(out, _log, budget_s=600.0):

@@ -155,9 +155,12 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
 
     # ---- bounds: hi from Gershgorin, lo from a plain one-cycle probe ----
     if hi is None:
+        log("cheb: computing Gershgorin bound...")
         hi = gershgorin_upper(op)
     if lo0 is None and probe:
         t0 = time.perf_counter()
+        log("cheb: compiling+running the plain probe cycle "
+            "(f64 remote compiles are slow — minutes)...")
         probe_cyc = get_ks_hep_cycle(op, key, ncv, "smallest",
                                      reorth="full")
         o = probe_cyc(V, H, jnp.asarray(np.int32(0)), 1e-30, 0)
@@ -196,6 +199,8 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
     lamA = None
     result = None
     cur_tol_b = tol_b
+    t_c0 = time.perf_counter()
+    log(f"cheb: compiling the filtered cycle (degree {degree})...")
 
     def _set_window(lo_new, lamA_locked, k2):
         """Move the filter window; rebuild H for the locked rows."""
@@ -214,6 +219,10 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
             break
         o = cyc(bop, V, H, j0, cur_tol_b, jnp.asarray(k2))
         V, H = o[0], o[1]
+        if t_c0 is not None:
+            log(f"cheb: first filtered cycle done "
+                f"({time.perf_counter() - t_c0:.0f}s incl. compile)")
+            t_c0 = None
         newcols = ncv - int(j0)
         j0 = jnp.asarray(np.int32(int(o[2])))
         k2 = int(o[3])
