@@ -161,8 +161,10 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
         t0 = time.perf_counter()
         log("cheb: compiling+running the plain probe cycle "
             "(f64 remote compiles are slow — minutes)...")
+        # donate=True: at flagship scale the non-donating call keeps both
+        # the input and output basis live (2 x 4.1 GB) and OOMs the chip
         probe_cyc = get_ks_hep_cycle(op, key, ncv, "smallest",
-                                     reorth="full")
+                                     reorth="full", donate=True)
         o = probe_cyc(V, H, jnp.asarray(np.int32(0)), 1e-30, 0)
         th = np.asarray(o[4])  # ascending Ritz values; th[0] > lambda_1
         lo0 = float(th[0] + 2e-3 * max(th[-1] - th[0], 1e-30))
@@ -170,12 +172,19 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
         stats["cols"] += ncv
         log(f"cheb: probe ritz_min={th[0]:.4e} -> lo0={lo0:.4e}, "
             f"hi={hi:.4e} ({stats['probe_s']:.1f}s)")
-        # keep the probe's best Ritz rows as the start subspace: row 0 is
-        # the current best approximation of the smallest eigenvector
+        # keep the probe's best Ritz row as the start vector: row 0 is
+        # the current best approximation of the smallest eigenvector.
+        # One donated pass (chained eager .at copies would transiently
+        # hold several extra basis-sized buffers at flagship scale).
+        def _keep_row0(V):
+            m = (jnp.arange(V.shape[0]) == 0).astype(V.dtype)
+            Vz = V * m.reshape((-1,) + (1,) * (V.ndim - 1))
+            nrm = jnp.linalg.norm(Vz[0])
+            return Vz / jnp.where(nrm > 0, nrm, 1.0)
+
         V, H = o[0], jnp.zeros_like(H)
-        V = V.at[1:].set(0.0)
-        nrm = jnp.linalg.norm(V[0])
-        V = V.at[0].set(V[0] / jnp.where(nrm > 0, nrm, 1.0))
+        del o
+        V = jax.jit(_keep_row0, donate_argnums=0)(V)
     elif lo0 is None:
         lo0 = hi * 1e-4
     lo = float(lo0)

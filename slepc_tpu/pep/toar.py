@@ -30,6 +30,24 @@ from ..sys.sort import SortCriterion, Which
 from ..eps.krylovschur import _pair_keys
 
 
+def _opnorm_est(m) -> float:
+    """Cheap 2-norm-flavored operator norm for backward-error scales.
+
+    Frobenius overestimates by up to sqrt(n) and masks bad pairs; the
+    max-abs-row-sum (inf-norm) is a tight proxy for the banded/dense
+    operators PEP sees.  Falls back to the Frobenius estimate."""
+    d = getattr(m, "diags", None)
+    if d is not None:
+        return float(np.abs(np.asarray(d)).sum(axis=0).max())
+    A = getattr(m, "A", None)
+    if A is not None and getattr(A, "ndim", 0) == 2:
+        return float(np.abs(np.asarray(A)).sum(axis=1).max())
+    sp_m = getattr(m, "scipy_mat", None)
+    if sp_m is not None:
+        return float(abs(sp_m).sum(axis=1).max())
+    return float(m.norm_estimate())
+
+
 def _build_psigma_ksp(pep, sigma):
     """Factor P(sigma) = sum sigma^i A_i (the reference's ST factorization
     of the transformed polynomial)."""
@@ -53,7 +71,10 @@ def toar_solve(pep) -> None:
     mats = pep.mats
     d = pep.degree
     n = pep.n
-    dtype = np.dtype(mats[0].dtype)
+    # common dtype over ALL coefficient matrices: a real A_0 with complex
+    # A_1.. would otherwise silently truncate the recurrence to real
+    # (measured failure: spurious converged pairs clustered at sigma)
+    dtype = np.dtype(np.result_type(*[np.dtype(m.dtype) for m in mats]))
     cplx = np.issubdtype(dtype, np.complexfloating)
     nev = pep.nev
     ncv = pep.ncv or min(d * n, max(2 * nev, nev + 15))
@@ -282,52 +303,86 @@ def toar_solve(pep) -> None:
         Un = np.asarray(U[:, :r])
         blocks = [Un @ (S[i * rmax: i * rmax + r, :k] @ Y)
                   for i in range(d)]
-        extract = str(getattr(pep, "extract", "none") or "none").lower()
-        X = blocks[0].copy()
-        if extract in ("norm", "residual", "structured") and k:
-            mats_h = [m for m in mats]
-            for j in range(k):
-                mu_j = wb[j]
-                lam_j = sigma + (1.0 / mu_j if mu_j != 0 else np.inf)
-                cands = [blocks[i][:, j] for i in range(d)]
-                nrms = [np.linalg.norm(c) for c in cands]
-                if extract == "norm":
-                    X[:, j] = cands[int(np.argmax(nrms))]
-                elif extract == "residual":
-                    import jax.numpy as _jnp
+        extract = str(getattr(pep, "extract", None) or "best").lower()
+        mats0 = pep.mats  # ORIGINAL (unscaled) coefficients
+        nrm_mats = [max(_opnorm_est(m), 1e-300) for m in mats0]
+        if sfactor != 1.0:
+            lam_fin = lam_fin * sfactor
+        import jax.numpy as _jnp
 
-                    best, bres = 0, np.inf
-                    for i, c in enumerate(cands):
-                        if nrms[i] < 1e-14:
-                            continue
-                        cj = _jnp.asarray(c / nrms[i])
-                        rj = None
-                        lp = 1.0
-                        for mm in mats_h:
-                            t = np.asarray(mm.mult(cj)) * lp
-                            rj = t if rj is None else rj + t
-                            lp *= lam_j
-                        rn = np.linalg.norm(rj)
-                        if rn < bres:
-                            best, bres = i, rn
-                    X[:, j] = cands[best]
-                else:  # structured: weight block i by conj(mu^i)
-                    acc = np.zeros(n, dtype=complex)
-                    wgt = 1.0
-                    for i in range(d):
-                        acc += np.conj(wgt) * cands[i]
-                        wgt *= mu_j
-                    X[:, j] = acc
+        def _eta(lamj, xv):
+            """Tisseur backward error of (lamj, xv) on the ORIGINAL
+            polynomial: ||P(lam)x|| / (sum |lam|^i ||A_i||_2est ||x||)."""
+            nv_ = np.linalg.norm(xv)
+            if not nv_ > 0 or not np.isfinite(nv_):
+                return np.inf
+            xj = _jnp.asarray(xv / nv_)
+            rj = None
+            lp = 1.0
+            scale = 0.0
+            for i, mm in enumerate(mats0):
+                t = np.asarray(mm.mult(xj)) * lp
+                rj = t if rj is None else rj + t
+                scale += abs(lp) * nrm_mats[i]
+                lp *= lamj
+            return float(np.linalg.norm(rj) / scale)
+
+        X = blocks[0].copy()
+        etas = np.zeros(k)
+        for j in range(k):
+            mu_j = wb[j]
+            cands = [blocks[i][:, j] for i in range(d)]
+            acc = np.zeros(n, dtype=complex)
+            wgt = 1.0
+            for i in range(d):  # structured: weight block i by conj(mu^i)
+                acc += np.conj(wgt) * cands[i]
+                wgt *= mu_j
+            nrms = [np.linalg.norm(c) for c in cands]
+            if extract == "none":
+                pick = [cands[0]]
+            elif extract == "norm":
+                pick = [cands[int(np.argmax(nrms))]]
+            elif extract == "structured":
+                pick = [acc]
+            elif extract == "residual":
+                pick = cands
+            else:  # "best": every block AND the structured combination —
+                # which read-off is accurate is problem-dependent
+                # (measured: structured wins on a boundary-damped
+                # acoustic QEP, first-block on speaker107), and the true
+                # residual is the only reliable referee
+                pick = cands + [acc]
+            best_eta, best_v = np.inf, pick[0]
+            for v in pick:
+                e_ = _eta(lam_fin[j], v)
+                if e_ < best_eta:
+                    best_eta, best_v = e_, v
+            X[:, j] = best_v
+            etas[j] = best_eta if len(pick) > 1 else _eta(lam_fin[j],
+                                                         best_v)
         nrm = np.linalg.norm(X, axis=0)
         nrm[nrm == 0] = 1
         X = X / nrm
-        if sfactor != 1.0:
-            lam_fin = lam_fin * sfactor
         order = np.argsort(sc.keys(1.0 / (lam_fin / sfactor - sigma)
                                    if sfactor != 1.0 else wb), kind="stable")
-        pep.eigenvalues = lam_fin[order]
-        pep.errests = errs[:k][order] if len(errs) >= k else np.zeros(k)
-        pep._eigenvectors = X[:, order]
+        lam_fin, X, etas = lam_fin[order], X[:, order], etas[order]
+        errs_o = errs[:k][order] if len(errs) >= k else np.zeros(k)
+        # ---- spurious-pair guard: the mu-space errest divides by |mu|,
+        # so a breakdown-born Ritz value with huge |mu| (lambda ~ sigma
+        # in a spectral gap) can pass tol while its TRUE backward error
+        # is O(1).  Certify each pair against the explicit polynomial
+        # residual (reference role: PEPConvergedNorm / -pep_conv_norm,
+        # pepdefault.c) and drop failures.
+        keep = np.isfinite(etas) & (etas <= max(1e4 * tol, 1e-6))
+        errs_o = np.maximum(errs_o, np.where(np.isfinite(etas), etas,
+                                             np.inf))
+        if not keep.all():
+            lam_fin, errs_o, X = lam_fin[keep], errs_o[keep], X[:, keep]
+            k = int(keep.sum())
+            pep.nconv = k
+        pep.eigenvalues = lam_fin
+        pep.errests = errs_o
+        pep._eigenvectors = X
     else:
         pep.eigenvalues = np.array([])
         pep.errests = np.array([])
