@@ -668,9 +668,14 @@ def _flagship_cheb(out, budget_s, _log, nx, ny, nz, nev, tol, ncv):
          f"ncv={ncv}, cheb degree={degree}, f64 double-single kernel")
     op = laplacian_3d_device(nx, ny, nz, dtype=np.float64)
     t0 = time.perf_counter()
+    # m_extra=20: the certified block's boundary must sit well above the
+    # wanted 20 (the CG-polish convergence rate is lam_20/lam_boundary
+    # per round); converging the extra filtered pairs is cheap
     res = ks_cheb_smallest(op, nev=nev, tol=tol, ncv=ncv, degree=degree,
                            key=jax.random.PRNGKey(12345),
                            budget_s=budget_s,
+                           m_extra=int(os.environ.get(
+                               "BENCH_FLAGSHIP_MEXTRA", "20")),
                            log=lambda m: _log(f"flagship: {m}"))
     wall = time.perf_counter() - t0
     st = res["stats"]

@@ -64,7 +64,8 @@ def _rr_refine(op, V, *, k: int):
 
     Returns (tau ascending, resid, X) with X the k rotated Ritz rows.
     The basis rows V[:k] must be orthonormal (they are: Krylov-Schur
-    keeps the locked block orthonormal).
+    keeps the locked block orthonormal; polished blocks re-orthonormalize
+    via _orthonormalize_rows first).
     """
     mult = op.mult2d if V.ndim == 3 else op.mult
     red_axes = tuple(range(1, V.ndim))
@@ -87,6 +88,58 @@ def _rr_refine(op, V, *, k: int):
 
     res = jax.lax.fori_loop(0, k, rbody, jnp.zeros((k,), jnp.float64))
     return tau, res, X
+
+
+@partial(jax.jit, static_argnames=("k", "iters"))
+def _cg_polish(op, X, tau, *, k: int, iters: int):
+    """One shift-invert (sigma=0) inverse-iteration step per row via
+    fixed-iteration CG on A — the refinement that breaks the filtered
+    subspace's noise floor.
+
+    The double-single SpMV carries ~6e-15*||A|| error per apply; a
+    Krylov process on p(A) therefore cannot push eigenvector angles much
+    below ~1e-11, which at lambda_1/||A|| ~ 5e-5 floors RELATIVE
+    residuals near 1e-7.  Solving A x' = x instead amplifies the wanted
+    component by 1/lambda (~1600x at the flagship) while the apply noise
+    stays at eps*||A|| — the polished angle lands near 1e-14 and the
+    subsequent Rayleigh-Ritz certifies ~1e-10 relative residuals.
+    SPD operators only (CG); requires 0 < tau (spectrum above zero).
+    """
+    from ..ksp.iterative_jit import cg_fixed
+
+    mult = op.mult2d if X.ndim == 3 else op.mult
+
+    def body(i, X):
+        b = X[i]
+        x0 = b / tau[i].astype(b.dtype)  # warm start: b/lambda
+        x = cg_fixed(mult, b, iters, x0=x0, rtol=1e-13)
+        x = x / jnp.linalg.norm(x)
+        return X.at[i].set(x)
+
+    return jax.lax.fori_loop(0, k, body, X)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _orthonormalize_rows(X, *, k: int):
+    """Cholesky-QR2 on the leading k rows (Gram-side, two small chols;
+    the rows are near-orthonormal after polishing so the Gram is
+    well-conditioned)."""
+    red_axes = tuple(range(1, X.ndim))
+    Xk = X[:k]
+
+    def one_pass(Xk):
+        def grow(i, G):
+            g = jnp.sum(Xk * Xk[i][None], axis=red_axes)
+            return G.at[i].set(g)
+
+        G = jax.lax.fori_loop(0, k, grow, jnp.zeros((k, k), jnp.float64))
+        G = 0.5 * (G + G.T)
+        L = jnp.linalg.cholesky(G)
+        Li = jax.scipy.linalg.solve_triangular(
+            L, jnp.eye(k, dtype=jnp.float64), lower=True)
+        return _rotate_basis(Li.T.astype(Xk.dtype), Xk, k)
+
+    return one_pass(one_pass(Xk))
 
 
 def _next_lo(lamA, k2: int, m_t: int, lo: float, hi: float,
@@ -208,6 +261,7 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
     lamA = None
     result = None
     cur_tol_b = tol_b
+    lastcert_resid = None
     t_c0 = time.perf_counter()
     log(f"cheb: compiling the filtered cycle (degree {degree})...")
 
@@ -245,7 +299,8 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
 
         # ---- certification ----
         if k2 >= m_t:
-            kc = min(k2, m_t)
+            kc = min(k2, ncv - 1)  # use ALL locked rows: the subspace
+            # boundary then sits at the lock gap, not inside a cluster
             stats["certs"] += 1
             tau, res, X = _rr_refine(op, V, k=kc)
             tau_np = np.asarray(tau)
@@ -254,10 +309,55 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
             nok = int(np.sum(np.cumprod(rel[:nev] <= tol)))
             log(f"cheb: certify k={kc}: nconv={nok}/{nev} "
                 f"(max rel resid of wanted {rel[:nev].max():.2e})")
+            # ---- shift-invert polish: the double-single SpMV noise
+            # floors filtered-subspace residuals near 1e-7 relative on
+            # badly-scaled spectra; CG inverse iteration (1/lambda
+            # amplification) breaks the floor.  Error components at
+            # eigenvalues just OUTSIDE the certified block decay only
+            # like lam_wanted/lam_boundary per round, so only the wanted
+            # rows are polished while Rayleigh-Ritz runs over the FULL
+            # locked block (boundary as far from nev as k2 allows).
+            # SPD spectra only. ----
+            polish_rounds = 0
+            kpol = min(nev + 6, kc)
+            while (nok < nev and polish_rounds < 4
+                   and float(tau_np[0]) > 0
+                   and np.all(np.isfinite(rel[:nev]))
+                   and rel[:nev].max() < 1e-3):
+                kap = max(float(hi) / max(float(tau_np[0]), 1e-300), 1.0)
+                p_iters = int(np.clip(11.0 * np.sqrt(kap), 200, 3000))
+                log(f"cheb: CG polish round {polish_rounds + 1} "
+                    f"(iters={p_iters}, rows={kpol}/{kc})...")
+                X = _cg_polish(op, X, tau, k=kpol, iters=p_iters)
+                X = _orthonormalize_rows(X, k=kc)
+                tau, res, X = _rr_refine(op, X, k=kc)
+                tau_np, res_np = np.asarray(tau), np.asarray(res)
+                rel = res_np / np.maximum(np.abs(tau_np), 1e-300)
+                nok = int(np.sum(np.cumprod(rel[:nev] <= tol)))
+                polish_rounds += 1
+                stats["polish_rounds"] = stats.get("polish_rounds", 0) + 1
+                worst = np.argsort(rel[:nev])[-3:][::-1]
+                log(f"cheb: after polish: nconv={nok}/{nev} "
+                    f"(max rel resid {rel[:nev].max():.2e}; worst rows "
+                    f"{worst.tolist()} = "
+                    f"{[float(f'{rel[w]:.2e}') for w in worst]})")
             if nok >= nev:
                 result = {"lam": tau_np[:nev], "resid": rel[:nev], "X": X,
-                          "lam_all": tau_np, "resid_all": rel}
+                          "lam_all": tau_np, "resid_all": rel,
+                          "nconv": nev}
                 break
+            # no-progress guard: identical residual at the tol_b floor
+            # means more cycles cannot help — return best effort
+            cur_max = float(rel[:nev].max()) if np.all(
+                np.isfinite(rel[:nev])) else np.inf
+            if (cur_tol_b <= 5e-16 and lastcert_resid is not None
+                    and cur_max > 0.5 * lastcert_resid):
+                log("cheb: certification stalled at the accuracy floor")
+                result = {"lam": tau_np[:nev], "resid": rel[:nev], "X": X,
+                          "lam_all": tau_np, "resid_all": rel,
+                          "nconv": nok}
+                break
+            lastcert_resid = cur_max
             # subspace not yet accurate enough: tighten the filtered
             # tolerance and keep cycling (locked rows stay; k2 may drop)
             cur_tol_b = max(cur_tol_b / 30.0, 5e-16)
@@ -303,7 +403,6 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
                   "resid": rel[: min(kc, nev)], "X": X,
                   "lam_all": tau_np, "resid_all": rel}
         result["nconv"] = nok
-    else:
-        result["nconv"] = nev
+    result.setdefault("nconv", nev)
     result["stats"] = stats
     return result

@@ -126,24 +126,24 @@ def _rotate_basis(Q, V, ncv: int):
     if not big_f64:
         return jnp.einsum("kp,k...->p...", Qd, V[:ncv])
     K, R, Wl = ncv, V.shape[1], V.shape[2]
-    # chunk so the 8x-split f64 emulation temp stays ~<= 1 GB
-    rows_per = max(8, int((1 << 30) // max(8 * K * Wl * 4, 1)) // 8 * 8)
+    # chunk so the 8x-split f64 emulation temp stays ~<= 1 GB.  R need
+    # not divide evenly: the last chunk's start clamps to R - rows_per,
+    # re-computing a few overlapping rows with identical values (an
+    # exact-division search walked rows_per negative for R = 2^a * 5
+    # shapes — the round-3 flagship crash)
+    rows_per = max(8, int(2 * _ROT_CHUNK_BYTES
+                          // max(8 * K * Wl * 4, 1)) // 8 * 8)
     rows_per = min(rows_per, R)
     nch = -(-R // rows_per)
-    rows_per = -(-R // nch)
-    while R % rows_per:
-        rows_per -= 8
-    nch = R // rows_per
     out = jnp.zeros((ncv, R, Wl), V.dtype)
 
     def body(i, out):
-        Vc = jax.lax.dynamic_slice_in_dim(V[:ncv], i * rows_per, rows_per,
-                                          axis=1)
+        start = jnp.minimum(i * rows_per, R - rows_per)
+        Vc = jax.lax.dynamic_slice_in_dim(V[:ncv], start, rows_per, axis=1)
         # dot_general per chunk: the f64 split products ride the MXU and
         # the emulation temp is bounded to ~1 GB by the chunking
         Oc = jnp.einsum("kp,krw->prw", Qd, Vc)
-        return jax.lax.dynamic_update_slice_in_dim(out, Oc, i * rows_per,
-                                                   axis=1)
+        return jax.lax.dynamic_update_slice_in_dim(out, Oc, start, axis=1)
 
     return jax.lax.fori_loop(0, nch, body, out)
 

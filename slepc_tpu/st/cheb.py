@@ -167,9 +167,11 @@ def gershgorin_upper(op) -> float:
         return float(np.max(np.sum(np.abs(np.asarray(op.diags)), axis=0)))
     dph = getattr(op, "dph", None)
     if dph is not None:  # DIAPaddedOperatorDS: values are hi+lo pairs
-        s = jnp.sum(jnp.abs(dph.astype(jnp.float64)
-                            + op.dpl.astype(jnp.float64)), axis=0)
-        return float(jnp.max(s))
+        # f32 arithmetic on purpose: |hi|+|lo| >= |hi+lo| keeps it an
+        # upper bound, and the f64 variant of this tiny reduce costs a
+        # multi-minute remote compile on TPU
+        s = jnp.sum(jnp.abs(dph) + jnp.abs(op.dpl), axis=0)
+        return float(jnp.max(s)) * (1.0 + 1e-5)
     dp = getattr(op, "dp", None)
     if dp is not None:  # DIAPaddedOperator
         return float(jnp.max(jnp.sum(jnp.abs(dp), axis=0)))

@@ -125,11 +125,20 @@ def test_rotate_basis_chunked_matches_plain(monkeypatch):
     monkeypatch.setattr(ks_jit, "_ROT_CHUNK_BYTES", 1024)
     got = ks_jit._rotate_basis(Q, V, ncv)
     assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-12)
-    # odd chunk split: R not divisible by the first rows_per guess
+    # R = 2^a * 5 pattern (flagship padded row counts): no divisor of R
+    # is congruent to the naive chunk guess — the clamped-overlap last
+    # chunk must still reproduce the rotation exactly (the old
+    # exact-division search walked rows_per NEGATIVE here and crashed
+    # the round-4 flagship run)
     V2 = jnp.asarray(rng.standard_normal((ncv + 1, 40, Wl)))
     ref2 = jnp.einsum("kp,krw->prw", Q, V2[:ncv])
     got2 = ks_jit._rotate_basis(Q, V2, ncv)
     assert np.allclose(np.asarray(got2), np.asarray(ref2), atol=1e-12)
+    # non-divisible: R=56, chunk guess won't divide it
+    V3 = jnp.asarray(rng.standard_normal((ncv + 1, 56, Wl)))
+    ref3 = jnp.einsum("kp,krw->prw", Q, V3[:ncv])
+    got3 = ks_jit._rotate_basis(Q, V3, ncv)
+    assert np.allclose(np.asarray(got3), np.asarray(ref3), atol=1e-12)
 
 
 # ---------------------------------------------------------------------------
