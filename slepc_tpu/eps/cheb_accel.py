@@ -262,6 +262,8 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
     result = None
     cur_tol_b = tol_b
     lastcert_resid = None
+    k2_floor = 0  # monotone lock watermark (reset when tol_b tightens)
+    tail_ref = None  # (cycle, k2) watermark for slow-tail retightening
     t_c0 = time.perf_counter()
     log(f"cheb: compiling the filtered cycle (degree {degree})...")
 
@@ -288,7 +290,13 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
             t_c0 = None
         newcols = ncv - int(j0)
         j0 = jnp.asarray(np.int32(int(o[2])))
-        k2 = int(o[3])
+        # monotone lock watermark: the projected eigh on the huge-range
+        # filtered H can wiggle a locked row's errest past tol_b and
+        # un-count it (observed k2 17 -> 14 on TPU); the leading rows
+        # remain the best Ritz vectors either way, and certification
+        # re-checks ground truth on A
+        k2 = max(int(o[3]), k2_floor)
+        k2_floor = k2
         stats["cycles"] += 1
         stats["cols"] += newcols
 
@@ -301,50 +309,12 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
         if k2 >= m_t:
             kc = min(k2, ncv - 1)  # use ALL locked rows: the subspace
             # boundary then sits at the lock gap, not inside a cluster
-            stats["certs"] += 1
-            tau, res, X = _rr_refine(op, V, k=kc)
-            tau_np = np.asarray(tau)
-            res_np = np.asarray(res)
-            rel = res_np / np.maximum(np.abs(tau_np), 1e-300)
-            nok = int(np.sum(np.cumprod(rel[:nev] <= tol)))
-            log(f"cheb: certify k={kc}: nconv={nok}/{nev} "
-                f"(max rel resid of wanted {rel[:nev].max():.2e})")
-            # ---- shift-invert polish: the double-single SpMV noise
-            # floors filtered-subspace residuals near 1e-7 relative on
-            # badly-scaled spectra; CG inverse iteration (1/lambda
-            # amplification) breaks the floor.  Error components at
-            # eigenvalues just OUTSIDE the certified block decay only
-            # like lam_wanted/lam_boundary per round, so only the wanted
-            # rows are polished while Rayleigh-Ritz runs over the FULL
-            # locked block (boundary as far from nev as k2 allows).
-            # SPD spectra only. ----
-            polish_rounds = 0
-            kpol = min(nev + 6, kc)
-            while (nok < nev and polish_rounds < 4
-                   and float(tau_np[0]) > 0
-                   and np.all(np.isfinite(rel[:nev]))
-                   and rel[:nev].max() < 1e-3):
-                kap = max(float(hi) / max(float(tau_np[0]), 1e-300), 1.0)
-                p_iters = int(np.clip(11.0 * np.sqrt(kap), 200, 3000))
-                log(f"cheb: CG polish round {polish_rounds + 1} "
-                    f"(iters={p_iters}, rows={kpol}/{kc})...")
-                X = _cg_polish(op, X, tau, k=kpol, iters=p_iters)
-                X = _orthonormalize_rows(X, k=kc)
-                tau, res, X = _rr_refine(op, X, k=kc)
-                tau_np, res_np = np.asarray(tau), np.asarray(res)
-                rel = res_np / np.maximum(np.abs(tau_np), 1e-300)
-                nok = int(np.sum(np.cumprod(rel[:nev] <= tol)))
-                polish_rounds += 1
-                stats["polish_rounds"] = stats.get("polish_rounds", 0) + 1
-                worst = np.argsort(rel[:nev])[-3:][::-1]
-                log(f"cheb: after polish: nconv={nok}/{nev} "
-                    f"(max rel resid {rel[:nev].max():.2e}; worst rows "
-                    f"{worst.tolist()} = "
-                    f"{[float(f'{rel[w]:.2e}') for w in worst]})")
+            tau_np, rel, X, nok = _certify(op, V, kc, nev, tol, hi, stats,
+                                           log)
             if nok >= nev:
                 result = {"lam": tau_np[:nev], "resid": rel[:nev], "X": X,
-                          "lam_all": tau_np, "resid_all": rel,
-                          "nconv": nev}
+                          "lam_all": tau_np,
+                          "resid_all": rel, "nconv": nev}
                 break
             # no-progress guard: identical residual at the tol_b floor
             # means more cycles cannot help — return best effort
@@ -364,6 +334,7 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
             log(f"cheb: tighten tol_b -> {cur_tol_b:.1e}")
             del X
             k2_prev, stall = -1, 0
+            k2_floor = 0  # stricter tol_b must be allowed to un-count
             continue
 
         # ---- stall -> window adaptation ----
@@ -377,32 +348,96 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
         else:
             stall = 0
         k2_prev = k2
-        if stall >= 3 or (exhausted and k2 < m_t):
+        # slow-tail trigger: the wanted eigenpairs are in but the extra
+        # boundary pairs crawl under a heavily-overshot window (their
+        # filtered gaps are compressed) — retighten the window around
+        # the actual spectrum (locked rows stay eigenvectors of every
+        # window, so down-moves are as safe as up-moves)
+        slow_tail = (k2 >= nev and k2 < m_t and tail_ref is not None
+                     and stats["cycles"] - tail_ref[0] >= 4
+                     and k2 - tail_ref[1] < 2)
+        if tail_ref is None or k2 > tail_ref[1]:
+            tail_ref = (stats["cycles"], k2)
+        if stall >= 3 or (exhausted and k2 < m_t) or slow_tail:
             lamA = _rayleigh_diag(op, V, jnp.asarray(max(k2, 0)))
             lamA_np = np.asarray(lamA[:max(k2, 1)])
-            lo_new = _next_lo(lamA_np, k2, m_t, lo, hi, degree)
-            log(f"cheb: adapt lo {lo:.4e} -> {lo_new:.4e} (k2={k2})")
+            if slow_tail and k2 >= 2:
+                lam_s = np.sort(lamA_np)
+                lo_new = float(lam_s[-1]
+                               * ((m_t + 2) / k2) ** 0.8 * 1.1)
+                lo_new = max(lo_new, float(lam_s[-1]) * 1.05)
+                lo_new = min(lo_new, hi / 4.0)
+                tag = "retighten"
+            else:
+                lo_new = _next_lo(lamA_np, k2, m_t, lo, hi, degree)
+                tag = "adapt"
+            log(f"cheb: {tag} lo {lo:.4e} -> {lo_new:.4e} (k2={k2})")
             H = _set_window(lo_new, lamA_np, k2)
             j0 = jnp.asarray(np.int32(k2))
             stats["adaptations"] += 1
             stall = 0
             k2_prev = -1
+            tail_ref = (stats["cycles"], k2)
 
     stats["wall_s"] = time.perf_counter() - t_start
     stats["lo"] = lo
     stats["hi"] = hi
     stats["degree"] = degree
     if result is None:
-        # best effort: certify whatever is locked
-        kc = max(min(k2, m_t), 1)
-        tau, res, X = _rr_refine(op, V, k=kc)
-        tau_np, res_np = np.asarray(tau), np.asarray(res)
-        rel = res_np / np.maximum(np.abs(tau_np), 1e-300)
-        nok = int(np.sum(np.cumprod(rel[: min(kc, nev)] <= tol)))
+        # best effort (budget/cycle cap): certify + polish what's locked
+        kc = max(min(k2, ncv - 1), 1)
+        tau_np, rel, X, nok = _certify(op, V, kc, nev, tol, hi, stats, log)
         result = {"lam": tau_np[: min(kc, nev)],
                   "resid": rel[: min(kc, nev)], "X": X,
                   "lam_all": tau_np, "resid_all": rel}
-        result["nconv"] = nok
+        result["nconv"] = min(nok, kc)
     result.setdefault("nconv", nev)
     result["stats"] = stats
     return result
+
+
+def _certify(op, V, kc: int, nev: int, tol: float, hi: float, stats,
+             log):
+    """Rayleigh-Ritz certification on A + CG inverse-iteration polish.
+
+    The double-single SpMV carries ~6e-15*||A|| noise per apply, which
+    floors filtered-subspace relative residuals near 1e-7 when
+    lambda_1/||A|| is ~1e-4-1e-5; CG inverse iteration (1/lambda
+    amplification of the wanted component) breaks the floor.  Error at
+    eigenvalues just OUTSIDE the certified block decays only like
+    lam_wanted/lam_boundary per round, so only the wanted rows are
+    polished while Rayleigh-Ritz runs over the FULL locked block.
+    SPD spectra only (CG inner solve).
+    Returns (tau ascending, rel resid, X rows, nconv-leading)."""
+    stats["certs"] += 1
+    tau, res, X = _rr_refine(op, V, k=kc)
+    tau_np = np.asarray(tau)
+    rel = np.asarray(res) / np.maximum(np.abs(tau_np), 1e-300)
+    nwant = min(nev, kc)
+    nok = int(np.sum(np.cumprod(rel[:nwant] <= tol)))
+    log(f"cheb: certify k={kc}: nconv={nok}/{nev} "
+        f"(max rel resid of wanted {rel[:nwant].max():.2e})")
+    polish_rounds = 0
+    kpol = min(nev + 6, kc)
+    while (nok < nwant and polish_rounds < 4
+           and float(tau_np[0]) > 0
+           and np.all(np.isfinite(rel[:nwant]))
+           and rel[:nwant].max() < 1e-3):
+        kap = max(float(hi) / max(float(tau_np[0]), 1e-300), 1.0)
+        p_iters = int(np.clip(11.0 * np.sqrt(kap), 200, 3000))
+        log(f"cheb: CG polish round {polish_rounds + 1} "
+            f"(iters={p_iters}, rows={kpol}/{kc})...")
+        X = _cg_polish(op, X, tau, k=kpol, iters=p_iters)
+        X = _orthonormalize_rows(X, k=kc)
+        tau, res, X = _rr_refine(op, X, k=kc)
+        tau_np = np.asarray(tau)
+        rel = np.asarray(res) / np.maximum(np.abs(tau_np), 1e-300)
+        nok = int(np.sum(np.cumprod(rel[:nwant] <= tol)))
+        polish_rounds += 1
+        stats["polish_rounds"] = stats.get("polish_rounds", 0) + 1
+        worst = np.argsort(rel[:nwant])[-3:][::-1]
+        log(f"cheb: after polish: nconv={nok}/{nev} "
+            f"(max rel resid {rel[:nwant].max():.2e}; worst rows "
+            f"{worst.tolist()} = "
+            f"{[float(f'{rel[w]:.2e}') for w in worst]})")
+    return tau_np, rel, X, nok
