@@ -65,6 +65,25 @@ class DSHEP(DS):
                                     if len(alpha) >= 256 else "auto")
         return w, Q
 
+    def solve_block_tridiag(self, Ds, Es, tau: float = 0.0,
+                            force: bool = False):
+        """Symmetric block-tridiagonal projected problem (diag blocks Ds,
+        subdiagonal blocks Es) — the blocked-Lanczos DS shape.
+
+        Routes to the own block D&C with deflation (`ds/bdc.py`, the
+        dsbtdc.c role) when its regime applies — low coupling rank after
+        ``tau`` truncation, where sequential rank-one merges with
+        LAED-style deflation beat a dense eigh — and to dense eigh
+        otherwise (LAPACK dsyevd is the faster driver for full-rank
+        couplings; the reference BDC makes the same trade through its
+        tol parameter).  ``force=True`` always takes the D&C path.
+        """
+        from .bdc import bdc_eig, block_tridiag_dense
+
+        if force or tau > 0.0:
+            return bdc_eig(Ds, Es, tau=tau)
+        return np.linalg.eigh(block_tridiag_dense(Ds, Es))
+
     def sort(self, w, Q, keys):
         perm = np.argsort(np.asarray(keys), kind="stable")
         return w[perm], Q[:, perm]

@@ -334,3 +334,98 @@ def test_dia_block_spmv_matches_vmap():
     Y_blk = op.mult2d_block(X)
     Y_ref = jax.vmap(op.mult2d)(X)
     assert np.abs(np.asarray(Y_blk) - np.asarray(Y_ref)).max() < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Block-tridiagonal divide-and-conquer with deflation (ds/bdc.py — the
+# reference's dsbtdc.c role)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n,rho", [(12, 1.0), (60, 0.25), (60, -3.0),
+                                   (150, 4.0)])
+def test_dpr1_eig_matches_dense(n, rho):
+    rng = np.random.default_rng(n)
+    d = np.sort(rng.standard_normal(n) * 2.0)
+    z = rng.standard_normal(n)
+    d[4] = d[3]            # exact cluster -> Givens deflation
+    z[7] = 1e-19           # tiny component -> deflation pass 1
+    from slepc_tpu.ds.bdc import dpr1_eig
+
+    M = np.diag(d) + rho * np.outer(z, z)
+    w, Q = dpr1_eig(d, z, rho)
+    we = np.linalg.eigvalsh(M)
+    nrm = np.abs(we).max()  # spectral scale (entry max underestimates)
+    assert np.abs(w - we).max() < 1e-12 * max(nrm, 1.0)
+    assert np.abs(Q.T @ Q - np.eye(n)).max() < 1e-12
+    assert np.abs(Q @ np.diag(w) @ Q.T - M).max() < 1e-12 * max(nrm, 1.0)
+
+
+def test_dpr1_eig_rotates_given_basis():
+    """basis= path == post-multiplying the returned eigenvectors."""
+    from slepc_tpu.ds.bdc import dpr1_eig
+
+    rng = np.random.default_rng(5)
+    n = 40
+    d = np.sort(rng.standard_normal(n))
+    z = rng.standard_normal(n)
+    B, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    w1, Q1 = dpr1_eig(d, z, 1.7)
+    w2, Q2 = dpr1_eig(d, z, 1.7, basis=B)
+    assert np.allclose(w1, w2)
+    # columns agree up to sign
+    dots = np.abs(np.sum((B @ Q1) * Q2, axis=0))
+    assert np.abs(dots - 1.0).max() < 1e-10
+
+
+@pytest.mark.parametrize("nb,bs", [(4, 9), (7, 12), (3, 40)])
+def test_bdc_eig_exact_matches_eigh(nb, bs):
+    from slepc_tpu.ds.bdc import bdc_eig, block_tridiag_dense
+
+    rng = np.random.default_rng(nb * 100 + bs)
+    Ds = [0.5 * (D + D.T) for D in
+          (rng.standard_normal((bs, bs)) for _ in range(nb))]
+    Es = [0.4 * rng.standard_normal((bs, bs)) for _ in range(nb - 1)]
+    M = block_tridiag_dense(Ds, Es)
+    w, Q = bdc_eig(Ds, Es, tau=0.0, dense_cutoff=10)
+    we = np.linalg.eigvalsh(M)
+    n = M.shape[0]
+    assert np.abs(w - we).max() < 1e-10 * max(1.0, np.abs(we).max())
+    assert np.abs(Q.T @ Q - np.eye(n)).max() < 1e-12
+    assert np.abs(Q @ np.diag(w) @ Q.T - M).max() < 1e-10
+
+
+def test_bdc_eig_tau_bounds_error():
+    """Approximate mode: eigenvalue error bounded by ~tau * ||M||."""
+    from slepc_tpu.ds.bdc import bdc_eig, block_tridiag_dense
+
+    rng = np.random.default_rng(77)
+    nb, bs = 6, 16
+    Ds = [0.5 * (D + D.T) + np.diag(np.linspace(1, 2, bs))
+          for D in (0.1 * rng.standard_normal((bs, bs))
+                    for _ in range(nb))]
+    Es = [0.01 * rng.standard_normal((bs, bs)) for _ in range(nb - 1)]
+    M = block_tridiag_dense(Ds, Es)
+    we = np.linalg.eigvalsh(M)
+    for tau in (1e-3, 1e-6):
+        w, Q = bdc_eig(Ds, Es, tau=tau, dense_cutoff=8)
+        # each truncated merge perturbs by <= tau*||M|| per level; allow
+        # the log2(nb) levels to stack
+        assert np.abs(w - we).max() < 10 * tau * np.abs(M).max()
+        assert np.abs(Q.T @ Q - np.eye(M.shape[0])).max() < 1e-10
+
+
+def test_dshep_solve_block_tridiag_routes():
+    from slepc_tpu.ds.bdc import block_tridiag_dense
+    from slepc_tpu.ds.types import DSHEP
+
+    rng = np.random.default_rng(3)
+    Ds = [0.5 * (D + D.T) for D in
+          (rng.standard_normal((8, 8)) for _ in range(5))]
+    Es = [0.3 * rng.standard_normal((8, 8)) for _ in range(4)]
+    ds = DSHEP()
+    w_dense, _ = ds.solve_block_tridiag(Ds, Es)           # eigh route
+    w_bdc, Q = ds.solve_block_tridiag(Ds, Es, force=True)  # D&C route
+    assert np.abs(w_dense - w_bdc).max() < 1e-10
+    M = block_tridiag_dense(Ds, Es)
+    assert np.abs(Q @ np.diag(w_bdc) @ Q.T - M).max() < 1e-10
