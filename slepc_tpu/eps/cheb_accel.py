@@ -70,10 +70,13 @@ def _rr_refine(op, V, *, k: int):
     mult = op.mult2d if V.ndim == 3 else op.mult
     red_axes = tuple(range(1, V.ndim))
     Vk = V[:k]
-    W = jax.lax.map(mult, Vk)  # sequential: k SpMVs, no vmap diag re-reads
 
+    # S column-by-column with ONE w = A v_j alive at a time: a
+    # materialized (k, n) W buffer is 2.9 GB at the 10.35M-row flagship
+    # and OOMed the chip next to V (4.15 GB) + X (2.9 GB)
     def srow(i, S):
-        s = jnp.sum(Vk.conj() * W[i][None], axis=red_axes)
+        w = mult(Vk[i])
+        s = jnp.sum(Vk.conj() * w[None], axis=red_axes)
         return S.at[i].set(jnp.real(s))
 
     S = jax.lax.fori_loop(0, k, srow, jnp.zeros((k, k), jnp.float64))
@@ -262,6 +265,7 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
     result = None
     cur_tol_b = tol_b
     lastcert_resid = None
+    last_cert_cycle = -10
     k2_floor = 0  # monotone lock watermark (reset when tol_b tightens)
     tail_ref = None  # (cycle, k2) watermark for slow-tail retightening
     t_c0 = time.perf_counter()
@@ -306,15 +310,36 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
                 f"{time.perf_counter() - t_start:.0f}s")
 
         # ---- certification ----
-        if k2 >= m_t:
+        # triggers: (a) the full m_t block is locked; (b) early-cert — the
+        # wanted block plus a margin is locked and half the budget is
+        # spent (the r4 flagship burned 550 s crawling the tail from
+        # k2=28 to 34 against m_t=40 and hit the budget before ever
+        # certifying; the wanted 20 had been locked since ~600 s)
+        early = (k2 >= nev + 6 and budget_s is not None
+                 and time.perf_counter() - t_start > 0.5 * budget_s)
+        spaced = stats["cycles"] - last_cert_cycle >= 3
+        if (k2 >= m_t or early) and spaced:
+            last_cert_cycle = stats["cycles"]
             kc = min(k2, ncv - 1)  # use ALL locked rows: the subspace
             # boundary then sits at the lock gap, not inside a cluster
-            tau_np, rel, X, nok = _certify(op, V, kc, nev, tol, hi, stats,
-                                           log)
-            if nok >= nev:
+            # flagship-scale bases: certification+polish peak memory is
+            # V + X + X' (~11.5 GB at 10.35M rows f64, OOMed the chip) —
+            # drop the cycle basis first and make the cert terminal
+            drop = V.nbytes > 3_000_000_000
+            if drop:
+                log("cheb: terminal certification (basis dropped: "
+                    f"{V.nbytes/1e9:.1f} GB)")
+            Vbox = [V]
+            if drop:
+                V = None
+            tau_np, rel, X, nok = _certify(op, Vbox, kc, nev, tol, hi,
+                                           stats, log, drop=drop)
+            if nok >= nev or drop:
+                # terminal either way when the basis was dropped: the
+                # filtered cycles cannot resume without it
                 result = {"lam": tau_np[:nev], "resid": rel[:nev], "X": X,
                           "lam_all": tau_np,
-                          "resid_all": rel, "nconv": nev}
+                          "resid_all": rel, "nconv": min(nok, nev)}
                 break
             # no-progress guard: identical residual at the tol_b floor
             # means more cycles cannot help — return best effort
@@ -384,9 +409,14 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
     stats["hi"] = hi
     stats["degree"] = degree
     if result is None:
-        # best effort (budget/cycle cap): certify + polish what's locked
+        # best effort (budget/cycle cap): certify + polish what's locked;
+        # terminal, so the cycle basis is always dropped after the first
+        # Rayleigh-Ritz (peak-memory headroom for the polish rotations)
         kc = max(min(k2, ncv - 1), 1)
-        tau_np, rel, X, nok = _certify(op, V, kc, nev, tol, hi, stats, log)
+        Vbox = [V]
+        V = None
+        tau_np, rel, X, nok = _certify(op, Vbox, kc, nev, tol, hi, stats,
+                                       log, drop=True)
         result = {"lam": tau_np[: min(kc, nev)],
                   "resid": rel[: min(kc, nev)], "X": X,
                   "lam_all": tau_np, "resid_all": rel}
@@ -396,8 +426,8 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
     return result
 
 
-def _certify(op, V, kc: int, nev: int, tol: float, hi: float, stats,
-             log):
+def _certify(op, Vbox, kc: int, nev: int, tol: float, hi: float, stats,
+             log, drop: bool = False):
     """Rayleigh-Ritz certification on A + CG inverse-iteration polish.
 
     The double-single SpMV carries ~6e-15*||A|| noise per apply, which
@@ -408,9 +438,21 @@ def _certify(op, V, kc: int, nev: int, tol: float, hi: float, stats,
     lam_wanted/lam_boundary per round, so only the wanted rows are
     polished while Rayleigh-Ritz runs over the FULL locked block.
     SPD spectra only (CG inner solve).
+
+    ``Vbox``: single-element list holding the basis; with ``drop=True``
+    the basis is released right after the first Rayleigh-Ritz (the
+    caller must clear its own reference first) so the polish rotations
+    never see V + X + X' peak memory (the 10.35M-row OOM).
     Returns (tau ascending, rel resid, X rows, nconv-leading)."""
     stats["certs"] += 1
+    V = Vbox[0]
     tau, res, X = _rr_refine(op, V, k=kc)
+    del V
+    if drop:
+        Vbox[0] = None
+        import gc
+
+        gc.collect()
     tau_np = np.asarray(tau)
     rel = np.asarray(res) / np.maximum(np.abs(tau_np), 1e-300)
     nwant = min(nev, kc)
