@@ -429,3 +429,37 @@ def test_dshep_solve_block_tridiag_routes():
     assert np.abs(w_dense - w_bdc).max() < 1e-10
     M = block_tridiag_dense(Ds, Es)
     assert np.abs(Q @ np.diag(w_bdc) @ Q.T - M).max() < 1e-10
+
+
+def test_dsnep_contour_batched_quadrature():
+    """Batched Beyn quadrature (the dsnep.c point-distribution role)
+    recovers the eigenvalues of a projected quadratic inside the circle."""
+    from slepc_tpu.ds.types import DSNEP
+
+    rng = np.random.default_rng(11)
+    k = 6
+    A0 = rng.standard_normal((k, k))
+    A1 = rng.standard_normal((k, k))
+    A2 = rng.standard_normal((k, k))
+
+    def Tfun(lam):
+        return A0 + lam * A1 + lam * lam * A2
+
+    # reference: companion linearization eigenvalues
+    Z = np.zeros((2 * k, 2 * k), dtype=complex)
+    Z[:k, k:] = np.eye(k)
+    Z[k:, :k] = -np.linalg.solve(A2, A0)
+    Z[k:, k:] = -np.linalg.solve(A2, A1)
+    lam_all = np.linalg.eigvals(Z)
+    center, radius = 0.0, 0.8
+    inside = lam_all[np.abs(lam_all - center) < radius * 0.95]
+    lam, X = DSNEP().solve_contour(Tfun, center, radius, npoints=64)
+    got = np.sort_complex(lam[np.abs(lam - center) < radius * 0.95])
+    want = np.sort_complex(inside)
+    assert got.size == want.size
+    assert np.abs(got - want).max() < 1e-8
+    # residuals of the recovered pairs
+    for mu, x in zip(lam, X.T):
+        if abs(mu - center) < radius * 0.95:
+            r = np.linalg.norm(Tfun(mu) @ x)
+            assert r < 1e-7
