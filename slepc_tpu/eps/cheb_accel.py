@@ -93,33 +93,47 @@ def _rr_refine(op, V, *, k: int):
     return tau, res, X
 
 
-@partial(jax.jit, static_argnames=("k", "iters"))
-def _cg_polish(op, X, tau, *, k: int, iters: int):
-    """One shift-invert (sigma=0) inverse-iteration step per row via
-    fixed-iteration CG on A — the refinement that breaks the filtered
-    subspace's noise floor.
+@partial(jax.jit, static_argnames=("iters",))
+def _polish_row(op, b, sigma, *, iters: int):
+    """One Rayleigh-quotient-shifted inverse-iteration step for one row:
+    fixed-iteration MINRES on (A - sigma I) y = x  — see _cg_polish."""
+    from ..ksp.iterative_jit import minres_fixed
+
+    mult = op.mult2d if b.ndim == 2 else op.mult
+    sig = sigma.astype(b.dtype)
+    x = minres_fixed(lambda v: mult(v) - sig * v, b, iters, rtol=1e-13)
+    return x / jnp.linalg.norm(x)
+
+
+def _cg_polish(op, X, tau, *, k: int, iters: int, shift_rel: float = 1e-3):
+    """Shifted inverse-iteration polish, one row per dispatch — the
+    refinement that breaks the filtered subspace's noise floor.
 
     The double-single SpMV carries ~6e-15*||A|| error per apply; a
-    Krylov process on p(A) therefore cannot push eigenvector angles much
-    below ~1e-11, which at lambda_1/||A|| ~ 5e-5 floors RELATIVE
-    residuals near 1e-7.  Solving A x' = x instead amplifies the wanted
-    component by 1/lambda (~1600x at the flagship) while the apply noise
-    stays at eps*||A|| — the polished angle lands near 1e-14 and the
-    subsequent Rayleigh-Ritz certifies ~1e-10 relative residuals.
-    SPD operators only (CG); requires 0 < tau (spectrum above zero).
+    Krylov process on p(A) therefore cannot push filtered-subspace
+    relative residuals below ~1e-7 when lambda_1/||A|| ~ 1e-4-1e-5.
+    Unshifted (sigma=0) CG inverse iteration only contracts error
+    components just OUTSIDE the certified block by lam_i/lam_boundary
+    (~0.8/round at the flagship) — measured stalling at ~3e-8.  The
+    Rayleigh-quotient shift sigma_i = tau_i (1 - shift_rel) sits
+    ~1000x closer to lam_i than to any boundary eigenvalue, so one
+    MINRES round contracts outside-block error by ~1e3-1e4 (measured:
+    7e-3 -> 4e-7 -> 4e-11 on a CPU analog).  shift_rel ~ 1e-3 keeps the
+    shift distance far above cluster gaps, so near-degenerate rows map
+    through the SAME well-conditioned resolvent and stay independent
+    (the CholQR2 re-orthonormalization then separates them exactly).
+
+    Dispatches ONE ROW PER CALL (host loop): the fully-fused all-rows
+    program chained k*iters ~ 40,000 SpMVs into a single 60+ s dispatch
+    and crashed the axon TPU worker at flagship scale; per-row programs
+    (~2-4 s each, one compile, shapes static) stay inside the relay's
+    envelope and cost only ~1 ms dispatch overhead per row.
     """
-    from ..ksp.iterative_jit import cg_fixed
-
-    mult = op.mult2d if X.ndim == 3 else op.mult
-
-    def body(i, X):
-        b = X[i]
-        x0 = b / tau[i].astype(b.dtype)  # warm start: b/lambda
-        x = cg_fixed(mult, b, iters, x0=x0, rtol=1e-13)
-        x = x / jnp.linalg.norm(x)
-        return X.at[i].set(x)
-
-    return jax.lax.fori_loop(0, k, body, X)
+    for i in range(k):
+        sigma = tau[i] * (1.0 - shift_rel)
+        xi = _polish_row(op, X[i], sigma, iters=iters)
+        X = X.at[i].set(xi)
+    return X
 
 
 @partial(jax.jit, static_argnames=("k",))
