@@ -408,16 +408,22 @@ def main():
             Ag = DIAOperator((-1, 0, 1), np.stack([lo, dg, hi]))
             gd_out = {}
             for fused in (True, False):
-                epsg = stt.EPS(Ag, problem_type="hep",
-                               which=_W.SMALLEST_REAL, nev=3, ncv=24,
-                               max_it=200 if fused else 120, tol=1e-4)
-                epsg.set_st(STPrecond([Ag]))
-                epsg.gd_fused = fused
-                t0 = time.perf_counter()
-                epsg.solve()
-                gd_out[fused] = (time.perf_counter() - t0, epsg.nconv,
-                                 epsg.its)
-                _log(f"gd fused={fused}: {gd_out[fused][0]:.1f}s "
+                # two solves, time the SECOND: the first pays the jit
+                # compile (~35 s for the fused cycle through the remote
+                # relay) — r3's gd_speedup_per_expansion=0.34 verdict was
+                # entirely this artifact (steady state measured 4 ms vs
+                # 385 ms/expansion, tools/diag_r4.py)
+                for attempt in (0, 1):
+                    epsg = stt.EPS(Ag, problem_type="hep",
+                                   which=_W.SMALLEST_REAL, nev=3, ncv=24,
+                                   max_it=200 if fused else 120, tol=1e-4)
+                    epsg.set_st(STPrecond([Ag]))
+                    epsg.gd_fused = fused
+                    t0 = time.perf_counter()
+                    epsg.solve()
+                    gd_out[fused] = (time.perf_counter() - t0, epsg.nconv,
+                                     epsg.its)
+                _log(f"gd fused={fused}: {gd_out[fused][0]:.1f}s warm "
                      f"nconv={epsg.nconv} its={epsg.its}")
             out["gd_fused_s"] = gd_out[True][0]
             out["gd_host_s"] = gd_out[False][0]

@@ -216,30 +216,34 @@ def dia_spmv_padded(offsets: Tuple[int, ...], dp, xp, n: int,
     return y
 
 
-def _dia_kernel2b(offsets: Tuple[int, ...], b: int, Rb: int, nblk: int,
+def _dia_kernel2b(offsets: Tuple[int, ...], b: int, Rbk: int, ht: int,
+                  hb: int, i_lo: int, i_hi: int,
                   xm_ref, xc_ref, xp_ref, d_ref, y_ref):
     """Block (multi-vector) variant of _dia_kernel2: the diagonal data is
     read ONCE per grid step and applied to all b vectors — the b-SpMV of
     the blocked BCGS2 cycle at 1/b of the per-column diagonal traffic
-    (a vmap over the single-vector kernel re-reads d_ref per vector)."""
+    (a vmap over the single-vector kernel re-reads d_ref per vector).
+    Halo operands carry only ht/hb rows (the stencil's true row reach):
+    fetching full neighbor blocks blew the 16 MB scoped-VMEM limit at
+    b=8, Rb=128 (18.5 MB — compile-time OOM on the r4 bench shape)."""
     i = pl.program_id(0)
 
-    @pl.when(jnp.logical_or(i == 0, i == nblk + 1))
+    @pl.when(jnp.logical_or(i < i_lo, i >= i_hi))
     def _():
-        y_ref[:] = jnp.zeros((b, Rb, W), y_ref.dtype)
+        y_ref[:] = jnp.zeros((b, Rbk, W), y_ref.dtype)
 
-    @pl.when(jnp.logical_and(i > 0, i <= nblk))
+    @pl.when(jnp.logical_and(i >= i_lo, i < i_hi))
     def _():
         x3 = jnp.concatenate([xm_ref[:], xc_ref[:], xp_ref[:]], axis=1)
-        col = jax.lax.broadcasted_iota(jnp.int32, (b, Rb, W), 2)
+        col = jax.lax.broadcasted_iota(jnp.int32, (b, Rbk, W), 2)
         acc = None
         for k, off in enumerate(offsets):
             q, r = divmod(off, W)
-            A = x3[:, Rb + q: 2 * Rb + q, :]
+            A = x3[:, ht + q: ht + Rbk + q, :]
             if r == 0:
                 shifted = A
             else:
-                Bq = x3[:, Rb + q + 1: 2 * Rb + q + 1, :]
+                Bq = x3[:, ht + q + 1: ht + Rbk + q + 1, :]
                 shift = np.int32(W - r)
                 rollA = pltpu.roll(A, shift, axis=2)
                 rollB = pltpu.roll(Bq, shift, axis=2)
@@ -249,48 +253,89 @@ def _dia_kernel2b(offsets: Tuple[int, ...], b: int, Rb: int, nblk: int,
         y_ref[:] = acc
 
 
+def _block_halo(offsets: Tuple[int, ...], Rbk: int):
+    """(ht, hb) halo row counts for the block kernel: the stencil's true
+    row reach rounded up to a divisor of Rbk (index maps address halo
+    blocks in ht/hb-row units, so they must tile the Rbk grid).  Returns
+    None when the reach exceeds Rbk (kernel inapplicable)."""
+    qs = [off // W for off in offsets]
+    rs = [off % W for off in offsets]
+    need_t = max((-q for q in qs), default=0)
+    need_b = max((q + (1 if r else 0) for q, r in zip(qs, rs)), default=0)
+    divs = [d for d in (8, 16, 32, 64, 128, 256) if Rbk % d == 0]
+
+    def rnd(g):
+        for d in divs:
+            if d >= g:
+                return d
+        return None
+
+    ht, hb = rnd(max(need_t, 1)), rnd(max(need_b, 1))
+    if ht is None or hb is None:
+        return None
+    return ht, hb
+
+
 @partial(jax.jit, static_argnames=("offsets", "n", "block_rows"))
 def dia_spmv_padded_block(offsets: Tuple[int, ...], dp, Xp, n: int,
-                          block_rows: int = 64):
+                          block_rows: int = 128):
     """Block SpMV in the padded chained layout: Xp (b, (nblk+2)*Rb, W) ->
     Yp same shape, halo blocks zeroed.  Diagonals stream once per block.
 
-    VMEM per grid step = (3 in + 1 out) * b*Rb*W*4 + nd*Rb*W*4 bytes;
-    the default Rb=64 keeps b=8 f32 at ~4.6 MB."""
+    ``block_rows`` is the LAYOUT block size; the kernel grids over Rbk =
+    min(64, Rb) sub-blocks (Rbk | Rb keeps every index map integral) with
+    ht/hb-row halo operands, bounding VMEM per grid step to
+    ~2*(b*(Rbk + ht + hb) + b*Rbk + nd*Rbk)*W*4 bytes (~7 MB at b=8,
+    Rbk=64, 5 diagonals).  Falls back to a vmap of the single-vector
+    kernel when the stencil's row reach exceeds Rbk (e.g. 3-D operators
+    with |offset| >= Rbk*W)."""
     nd = dp.shape[0]
     b = Xp.shape[0]
     Rb = block_rows
     nblk = -(-n // (Rb * W))
-
-    def xspec(doff):
-        if doff < 0:
-            return pl.BlockSpec((b, Rb, W),
-                                lambda i: (i * 0, jnp.maximum(i - 1, i * 0),
-                                           i * 0),
-                                memory_space=pltpu.VMEM)
-        if doff > 0:
-            return pl.BlockSpec(
-                (b, Rb, W),
-                lambda i: (i * 0, jnp.minimum(i + 1, i * 0 + (nblk + 1)),
-                           i * 0), memory_space=pltpu.VMEM)
-        return pl.BlockSpec((b, Rb, W), lambda i: (i * 0, i, i * 0),
-                            memory_space=pltpu.VMEM)
+    Rbk = 64 if Rb % 64 == 0 else Rb
+    halo = _block_halo(tuple(offsets), Rbk)
+    if halo is None:
+        # stencil reach exceeds the sub-block: vmap the single-vector
+        # kernel (diagonal re-reads return, but correctness is kept)
+        return jax.vmap(
+            lambda x: dia_spmv_padded(tuple(offsets), dp, x, n, Rb))(Xp)
+    ht, hb = halo
+    sub = Rb // Rbk                    # sub-blocks per layout block
+    ngrid = (nblk + 2) * sub
+    i_lo, i_hi = sub, sub + nblk * sub  # interior sub-block range
+    nrows = (nblk + 2) * Rb
 
     y = pl.pallas_call(
-        partial(_dia_kernel2b, tuple(offsets), b, Rb, nblk),
-        grid=(nblk + 2,),
+        partial(_dia_kernel2b, tuple(offsets), b, Rbk, ht, hb, i_lo, i_hi),
+        grid=(ngrid,),
         in_specs=[
-            xspec(-1), xspec(0), xspec(+1),
-            pl.BlockSpec((nd, Rb, W),
+            # top halo: rows [i*Rbk - ht, i*Rbk), in ht-row units
+            pl.BlockSpec((b, ht, W),
                          lambda i: (i * 0,
-                                    jnp.minimum(jnp.maximum(i - 1, i * 0),
-                                                i * 0 + (nblk - 1)),
+                                    jnp.maximum(i * (Rbk // ht) - 1, i * 0),
+                                    i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, Rbk, W), lambda i: (i * 0, i, i * 0),
+                         memory_space=pltpu.VMEM),
+            # bottom halo: rows [(i+1)*Rbk, (i+1)*Rbk + hb), in hb units
+            pl.BlockSpec((b, hb, W),
+                         lambda i: (i * 0,
+                                    jnp.minimum((i + 1) * (Rbk // hb),
+                                                i * 0 + (nrows // hb - 1)),
+                                    i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nd, Rbk, W),
+                         lambda i: (i * 0,
+                                    jnp.minimum(
+                                        jnp.maximum(i - sub, i * 0),
+                                        i * 0 + (nblk * sub - 1)),
                                     i * 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b, Rb, W), lambda i: (i * 0, i, i * 0),
+        out_specs=pl.BlockSpec((b, Rbk, W), lambda i: (i * 0, i, i * 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, (nblk + 2) * Rb, W), Xp.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, nrows, W), Xp.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * nd * n * b,
             bytes_accessed=(dp.size + 3 * n * b) * Xp.dtype.itemsize,
