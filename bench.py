@@ -673,6 +673,31 @@ def _flagship_cheb(out, budget_s, _log, nx, ny, nz, nev, tol, ncv):
     _log(f"flagship: {n/1e6:.2f}M rows 3-D Laplacian, k={nev}, tol={tol}, "
          f"ncv={ncv}, cheb degree={degree}, f64 double-single kernel")
     op = laplacian_3d_device(nx, ny, nz, dtype=np.float64)
+
+    # one timed DS-SpMV chain: the BASELINE orth-overhead gate
+    # ("orth+restart <= 20% of iteration time") is evaluated on THIS
+    # configuration, where the operator apply is the degree-d filtered
+    # polynomial — overhead = cycle_col_time / (degree * spmv) - 1
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    @_jax.jit
+    def _spmv_chain(opx, x, t):
+        x = x * (1.0 + t)
+
+        def body(i, v):
+            y = opx.mult2d(v)
+            return y / _jnp.linalg.norm(y)
+        y = _jax.lax.fori_loop(0, 50, body, x)
+        return y, _jnp.vdot(y.reshape(-1)[:8], y.reshape(-1)[:8]).real
+
+    xs = _jax.random.normal(_jax.random.PRNGKey(1), op.mask2d.shape,
+                            _jnp.float64) * op.mask2d
+    dt_spmv, _sus = _timeit_chain(lambda x, t: _spmv_chain(op, x, t), xs, 50)
+    out["ks_tpu_spmv_ms"] = dt_spmv * 1e3
+    _log(f"flagship: f64-ds SpMV {dt_spmv*1e3:.2f} ms/apply")
+    del xs
+
     t0 = time.perf_counter()
     # m_extra=20: the certified block's boundary must sit well above the
     # wanted 20 (the CG-polish convergence rate is lam_20/lam_boundary
@@ -696,6 +721,20 @@ def _flagship_cheb(out, budget_s, _log, nx, ny, nz, nev, tol, ncv):
     out["ks_tpu_cheb_lo"] = st["lo"]
     out["ks_tpu_cheb_adaptations"] = st["adaptations"]
     out["ks_tpu_probe_s"] = st["probe_s"]
+    # orth+restart overhead on the flagship configuration: per-column
+    # cycle time over the polynomial apply's own cost (cycles only —
+    # probe/cert excluded via their recorded timings)
+    if st["cols"] > 0 and out.get("ks_tpu_spmv_ms"):
+        cyc_cols = st["cols"] - ncv  # probe columns excluded
+        cyc_s = wall - st["probe_s"] - st.get("cert_s", 0.0)
+        if cyc_cols > 0 and cyc_s > 0:
+            col_ms = cyc_s / cyc_cols * 1e3
+            apply_ms = degree * out["ks_tpu_spmv_ms"]
+            out["ks_tpu_col_ms"] = col_ms
+            out["ks_tpu_orth_overhead"] = col_ms / apply_ms - 1.0
+            _log(f"flagship: {col_ms:.0f} ms/col vs {apply_ms:.0f} ms "
+                 f"filtered apply -> orth+restart overhead "
+                 f"{out['ks_tpu_orth_overhead']*100:.0f}%")
     th = np.asarray(res["lam"])[:kfound]
     errs = np.asarray(res["resid"])[:kfound]
     if kfound > 0:

@@ -458,6 +458,7 @@ def _certify(op, Vbox, kc: int, nev: int, tol: float, hi: float, stats,
     caller must clear its own reference first) so the polish rotations
     never see V + X + X' peak memory (the 10.35M-row OOM).
     Returns (tau ascending, rel resid, X rows, nconv-leading)."""
+    t_cert0 = time.perf_counter()
     stats["certs"] += 1
     V = Vbox[0]
     tau, res, X = _rr_refine(op, V, k=kc)
@@ -496,4 +497,6 @@ def _certify(op, Vbox, kc: int, nev: int, tol: float, hi: float, stats,
             f"(max rel resid {rel[:nwant].max():.2e}; worst rows "
             f"{worst.tolist()} = "
             f"{[float(f'{rel[w]:.2e}') for w in worst]})")
+    stats["cert_s"] = stats.get("cert_s", 0.0) + (time.perf_counter()
+                                                  - t_cert0)
     return tau_np, rel, X, nok
