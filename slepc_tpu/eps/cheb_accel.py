@@ -133,6 +133,12 @@ def _cg_polish(op, X, tau, *, k: int, iters: int, shift_rel: float = 1e-3):
         sigma = tau[i] * (1.0 - shift_rel)
         xi = _polish_row(op, X[i], sigma, iters=iters)
         X = X.at[i].set(xi)
+        # serialize: the axon relay enqueues eagerly, so an unsynced loop
+        # keeps every generation of the (multi-GB) X alive at once —
+        # the full-bench flagship OOMed here with k x 2.2 GB in flight
+        # (standalone it squeaked by); blocking bounds liveness to two
+        # generations and costs nothing (the solve is compute-bound)
+        jax.block_until_ready(X)
     return X
 
 
