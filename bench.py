@@ -489,6 +489,11 @@ def main():
         except NameError:
             pass
         del spmv_loop, op_b, mult  # mult is a bound method: holds op_b
+        try:
+            del ds_loop  # partial over the f64-DS operator (~400 MB)
+        except NameError:
+            pass
+        del stream_loop  # closure cell pins dp_cal past the local del
         del x, dp_cal
         import gc
 

@@ -351,7 +351,12 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
                     f"{V.nbytes/1e9:.1f} GB)")
             Vbox = [V]
             if drop:
+                # o[0] ALIASES V: clearing V alone leaves the 4 GB basis
+                # pinned through the cycle-output tuple (the first two
+                # full-bench flagship runs OOMed in the polish because
+                # of exactly this)
                 V = None
+                o = None
             tau_np, rel, X, nok = _certify(op, Vbox, kc, nev, tol, hi,
                                            stats, log, drop=drop)
             if nok >= nev or drop:
@@ -435,6 +440,7 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
         kc = max(min(k2, ncv - 1), 1)
         Vbox = [V]
         V = None
+        o = None  # o[0] aliases V — must release both (see cert branch)
         tau_np, rel, X, nok = _certify(op, Vbox, kc, nev, tol, hi, stats,
                                        log, drop=True)
         result = {"lam": tau_np[: min(kc, nev)],
