@@ -784,17 +784,45 @@ def _flagship_cheb(out, budget_s, _log, nx, ny, nz, nev, tol, ncv):
 
 
 def _module_timings(out, _log):
-    """Host-orchestrated solver families on TPU: NLEIGS on a 100k-row
-    split-form delay problem, PEP-TOAR on a 250k-row quadratic.  These
-    loops dispatch per step through the ~1 ms relay and solve projected
-    problems on host — the numbers bound that cost (they are NOT fused
-    fast paths).  Event counts stand in for dispatch counts."""
+    """Host-orchestrated solver families: NLEIGS on a 100k-row split-form
+    delay problem, PEP-TOAR on a 250k-row quadratic.  These loops
+    dispatch per step and solve projected problems on host — the numbers
+    bound that cost (they are NOT fused fast paths).  Event counts stand
+    in for dispatch counts.
+
+    Runs on the CPU BACKEND, recorded as ``modules_backend``: both
+    problems are complex-arithmetic (damped quadratic -> conjugate
+    pairs; ellipse-region Leja-Bagby -> complex nodes) and the axon TPU
+    PJRT rejects C128 outright ("Element type C128 is not supported on
+    TPU" — the r4 full-bench runs burned 28 min in compile retries
+    before failing).  The host-orchestration overhead being bounded here
+    is backend-independent."""
+    import jax
     import numpy as np
 
     import slepc_tpu as stt
     from slepc_tpu.mat.generators import laplacian_2d
     from slepc_tpu.mat.linop import DIAOperator
     from slepc_tpu.sys import events
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except Exception:
+        _log("module timings: no cpu backend available")
+        return
+    out["modules_backend"] = "cpu (axon TPU rejects C128)"
+    ctx = jax.default_device(cpu)
+    ctx.__enter__()
+    try:
+        _module_timings_body(out, _log, stt, laplacian_2d, DIAOperator,
+                             events)
+    finally:
+        ctx.__exit__(None, None, None)
+
+
+def _module_timings_body(out, _log, stt, laplacian_2d, DIAOperator,
+                         events):
+    import numpy as np
 
     # NEP / NLEIGS: 1-D delay problem  T(lam) = -lam I + A0 + e^-lam A1
     try:
