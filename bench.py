@@ -82,6 +82,33 @@ def main():
     dtype = np.float32
     ITERS = 50
 
+    # ---- global deadline + cumulative emission (VERDICT r4 weak #1:
+    # BENCH_r04 was rc=124/parsed=null because the single JSON print sat
+    # at the very end and the driver timeout killed the process first).
+    # The driver parses the LAST stdout line, so a cumulative JSON line
+    # after EVERY stage makes any timeout still yield everything
+    # completed so far; the deadline makes stages self-limit so the
+    # process normally exits cleanly well inside the driver budget. ----
+    t_main0 = time.perf_counter()
+    deadline = t_main0 + float(os.environ.get("BENCH_DEADLINE_S", "3300"))
+    headline = {"value": 0.0, "vs_baseline": 0.0}
+
+    def _remaining():
+        return deadline - time.perf_counter()
+
+    def _emit(stage):
+        out["last_stage"] = stage
+        out["elapsed_s"] = round(time.perf_counter() - t_main0, 1)
+        print(json.dumps({
+            "metric": "spmv_nnz_per_s",
+            "value": headline["value"],
+            "unit": "nnz/s",
+            # calibrated: ideal bytes at this window's measured achievable
+            # stream bandwidth (in-process roofline; smooth around 1.0)
+            "vs_baseline": headline["vs_baseline"],
+            **out,
+        }), flush=True)
+
     from slepc_tpu.mat.generators import laplacian_2d, laplacian_2d_eigs
     from slepc_tpu.ops.dia_pallas import DIAPaddedOperator, W as LANES
 
@@ -187,6 +214,10 @@ def main():
     _log(f"stream: {dt_stream*1e3:.3f} ms/iter = "
          f"{out['stream_bw_gb_s']:.0f} GB/s achievable "
          f"(replay_suspect={sus_s})")
+    # provisional headline from pass 1 (refined after pass 2)
+    headline["value"] = nnz / dt1
+    headline["vs_baseline"] = dt_stream / dt1
+    _emit("stream1")
 
     # ---- general-sparsity (AIJ) fast path: hybrid diagonal/gather ELL
     # on a 9-point variable-coefficient banded CSR (1M rows) ----
@@ -256,6 +287,7 @@ def main():
         del opg2, xg2
     except Exception as e:  # pragma: no cover - keep the bench alive
         _log(f"aij bench failed: {e!r}")
+    _emit("aij")
 
     # ---- f64 double-single kernel ----
     try:
@@ -283,6 +315,7 @@ def main():
         _log(f"f64-ds relerr (random x): {out['spmv_f64_relerr']:.2e}")
     except Exception as e:  # pragma: no cover
         _log(f"f64 bench failed: {e!r}")
+    _emit("f64_ds")
 
     # ---- full solver-iteration cost: jitted KS cycles on the same
     # operator.  BASELINE gate: orth+restart <= 20% over pure SpMV. ----
@@ -388,9 +421,27 @@ def main():
     if "ks_cycle_blocked_per_column_ms" in out:
         out["ks_orth_overhead_vs_spmv"] = \
             out["ks_cycle_blocked_per_column_ms"] / (dt * 1e3) - 1.0
+    headline["value"] = nnz_per_s
+    headline["vs_baseline"] = vs_cal
+    _emit("kernels")
+
+    # ---- second stream-bandwidth sample IMMEDIATELY after the kernel
+    # stages (VERDICT r4 weak #5: sampling it after flagship+sinvert put
+    # it past the timeout and round 4 recorded zero second windows); a
+    # third sample runs at the very end if time remains ----
+    if on_tpu:
+        try:
+            bw2, dts2, sus2s = measure_stream()
+            out["stream_bw_gb_s_2"] = bw2
+            _log(f"stream window 2: {bw2:.0f} GB/s "
+                 f"(window 1 was {out['stream_bw_gb_s']:.0f})")
+        except Exception as e:
+            _log(f"stream window-2 sample failed: {e!r}")
+        _emit("stream2")
 
     # ---- fused vs host GD A/B (VERDICT r3 item 9) ----
-    if on_tpu and os.environ.get("BENCH_GD", "1") != "0":
+    if on_tpu and os.environ.get("BENCH_GD", "1") != "0" \
+            and _remaining() > 400:
         try:
             from slepc_tpu.mat.linop import DIAOperator
             import slepc_tpu as stt
@@ -420,37 +471,44 @@ def main():
                 for attempt in (0, 1):
                     epsg = stt.EPS(Ag, problem_type="hep",
                                    which=_W.SMALLEST_REAL, nev=3, ncv=24,
-                                   max_it=200 if fused else 120, tol=1e-4)
+                                   max_it=200 if fused else 120, tol=1e-4,
+                                   solver="gd")
                     epsg.set_st(STPrecond([Ag]))
                     epsg.gd_fused = fused
                     t0 = time.perf_counter()
                     epsg.solve()
                     gd_out[fused] = (time.perf_counter() - t0, epsg.nconv,
-                                     epsg.its)
+                                     epsg.its, epsg.expansions)
                 _log(f"gd fused={fused}: {gd_out[fused][0]:.1f}s warm "
-                     f"nconv={epsg.nconv} its={epsg.its}")
+                     f"nconv={epsg.nconv} its={epsg.its} "
+                     f"expansions={epsg.expansions}")
             out["gd_fused_s"] = gd_out[True][0]
             out["gd_host_s"] = gd_out[False][0]
             out["gd_fused_nconv"] = gd_out[True][1]
             out["gd_host_nconv"] = gd_out[False][1]
-            # per-OUTER-iteration cost (the honest unit: the fused cycle
-            # runs ncv-kl expansions per its while the host loop runs one)
+            # per-EXPANSION cost from REAL counts (VERDICT r4 weak #3:
+            # the old `its * 12` estimate was a guess; both solver paths
+            # now count actual basis-growth steps in eps.expansions)
+            out["gd_fused_expansions"] = gd_out[True][3]
+            out["gd_host_expansions"] = gd_out[False][3]
             out["gd_fused_ms_per_expansion"] = (
-                gd_out[True][0] / max(gd_out[True][2] * 12, 1) * 1e3)
+                gd_out[True][0] / max(gd_out[True][3], 1) * 1e3)
             out["gd_host_ms_per_expansion"] = (
-                gd_out[False][0] / max(gd_out[False][2], 1) * 1e3)
+                gd_out[False][0] / max(gd_out[False][3], 1) * 1e3)
             out["gd_speedup_per_expansion"] = (
                 out["gd_host_ms_per_expansion"]
                 / max(out["gd_fused_ms_per_expansion"], 1e-9))
         except Exception as e:
             _log(f"gd A/B failed: {e!r}")
+        _emit("gd")
 
 
     # ---- FLAGSHIP (BASELINE.md north star): k=20 smallest of a 10.35M-row
     # 3-D Laplacian to 1e-8 relative residual, f64 via the double-single
     # kernel, fully-jitted KS cycles, everything generated and verified
     # ON DEVICE. ----
-    if on_tpu and os.environ.get("BENCH_FLAGSHIP", "1") != "0":
+    if on_tpu and os.environ.get("BENCH_FLAGSHIP", "1") != "0" \
+            and _remaining() > 900:
         # free the kernel-bench working set first: the 5.4 GB f64 basis
         # plus its rotation temporary must fit next to the operator
         try:
@@ -498,7 +556,11 @@ def main():
         import gc
 
         gc.collect()
-        budget = float(os.environ.get("BENCH_FLAGSHIP_BUDGET", "1500"))
+        # cycle budget derived from the global deadline: keep ~700 s for
+        # certification+polish (they run past budget_s), sinvert_tpu,
+        # module timings and the closing samples
+        budget = min(float(os.environ.get("BENCH_FLAGSHIP_BUDGET", "1500")),
+                     _remaining() - 700.0)
         done_fs = False
         for ncv_try in (int(os.environ.get("BENCH_FLAGSHIP_NCV", "48")), 40):
             if done_fs:
@@ -511,37 +573,44 @@ def main():
             # collect OUTSIDE the except handler: the live traceback pins
             # the failed attempt's multi-GB basis until the handler exits
             gc.collect()
+        _emit("flagship")
 
     # ---- device-side shift-invert: 1M-row GHEP, jitted CG inner solve
     # fused into the KS cycle (VERDICT r3 item 5) ----
-    if on_tpu and os.environ.get("BENCH_SINVERT_TPU", "1") != "0":
+    if on_tpu and os.environ.get("BENCH_SINVERT_TPU", "1") != "0" \
+            and _remaining() > 180:
         try:
-            _sinvert_tpu(out, _log)
+            _sinvert_tpu(out, _log,
+                         budget_s=min(600.0, _remaining() - 120.0))
         except Exception as e:
             _log(f"sinvert_tpu failed: {e!r}")
         import gc as _gc
 
         _gc.collect()
+        _emit("sinvert_tpu")
 
     # ---- host-orchestrated module families: one TPU wall-clock +
     # dispatch-count sample each (NLEIGS, PEP-TOAR) so relay-latency
     # regressions become visible (VERDICT r3 item 7) ----
-    if on_tpu and os.environ.get("BENCH_MODULES", "1") != "0":
+    if on_tpu and os.environ.get("BENCH_MODULES", "1") != "0" \
+            and _remaining() > 150:
         try:
             _module_timings(out, _log)
         except Exception as e:
             _log(f"module timings failed: {e!r}")
+        _emit("modules")
 
-    # ---- second stream-bandwidth sample, minutes after the first: the
-    # flagship/sinvert stages put it in a different time window ----
-    if on_tpu:
+    # ---- third stream-bandwidth sample, after flagship/sinvert put the
+    # process in a later time window (chip weather vs regression) ----
+    if on_tpu and _remaining() > 30:
         try:
-            bw2, dts2, sus2s = measure_stream()
-            out["stream_bw_gb_s_2"] = bw2
-            _log(f"stream window 2: {bw2:.0f} GB/s "
+            bw3, dts3, sus3s = measure_stream()
+            out["stream_bw_gb_s_3"] = bw3
+            _log(f"stream window 3: {bw3:.0f} GB/s "
                  f"(window 1 was {out['stream_bw_gb_s']:.0f})")
         except Exception as e:
-            _log(f"stream window-2 sample failed: {e!r}")
+            _log(f"stream window-3 sample failed: {e!r}")
+        _emit("stream3")
 
     # ---- k=10 smallest via shift-and-invert (host-factorization
     # workload, CPU backend — the axon plugin cannot host-callback) ----
@@ -550,7 +619,7 @@ def main():
         cpu = jax.devices("cpu")[0]
     except Exception:
         pass
-    if cpu is not None:
+    if cpu is not None and _remaining() > 45:
         import slepc_tpu as st
         from slepc_tpu.st.st import STSinvert
 
@@ -574,15 +643,7 @@ def main():
                 eps3.nconv >= 10 and np.allclose(got, exact3, rtol=1e-6))
 
     _log("done")
-    print(json.dumps({
-        "metric": "spmv_nnz_per_s",
-        "value": nnz_per_s,
-        "unit": "nnz/s",
-        # calibrated: ideal bytes at this window's measured achievable
-        # stream bandwidth (in-process roofline; smooth around 1.0)
-        "vs_baseline": vs_cal,
-        **out,
-    }))
+    _emit("done")
 
 
 def _flagship(out, budget_s, _log, ncv=None):

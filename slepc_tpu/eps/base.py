@@ -101,6 +101,10 @@ class EPS:
         # solve state
         self.nconv = 0
         self.its = 0
+        # search-space expansions (basis-growth steps): the honest cost
+        # unit for Davidson-family A/Bs — the fused GD cycle runs ncv-j0
+        # expansions per outer `its` while the host loop runs ~1
+        self.expansions = 0
         self.reason = EPSConvergedReason.ITERATING
         self.eigenvalues: np.ndarray = np.array([])
         self.errests: np.ndarray = np.array([])
@@ -466,6 +470,7 @@ class EPS:
                 f"available: {sorted(self._solvers)}")
         self.its = 0
         self.nconv = 0
+        self.expansions = 0
         self.reason = EPSConvergedReason.ITERATING
         solver = cls()
         solver.solve(self)

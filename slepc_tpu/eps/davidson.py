@@ -262,6 +262,7 @@ class _Davidson(EPSSolver):
                     t = t - Vj @ (Vj.conj().T @ t)
                     tn = jnp.linalg.norm(t)
                 new_dirs.append(t / tn)
+            eps.expansions += len(new_dirs)
 
             if m + len(new_dirs) > ncv:
                 # restart: best minv Ritz vectors + plusk prior corrections

@@ -206,6 +206,7 @@ def gd_hep_solve(eps, op, which: str) -> bool:
     theta = errest = None
     while eps.its < eps.max_it:
         eps.its += 1
+        eps.expansions += ncv - int(j0)  # in-program basis-growth steps
         V, W, G, j0d, k2j, theta, errest = cycle(
             V, W, G, j0, jnp.asarray(np.int32(k2)), eps.tol)
         k2 = int(k2j)
