@@ -792,9 +792,23 @@ def _flagship_cheb(out, budget_s, _log, nx, ny, nz, nev, tol, ncv):
     # m_extra=20: the certified block's boundary must sit well above the
     # wanted 20 (the CG-polish convergence rate is lam_20/lam_boundary
     # per round); converging the extra filtered pairs is cheap
+    # orth-traffic lever (BASELINE <=20% gate): default is the
+    # omega-monitored partial reorthogonalization — full Krylov depth,
+    # ~3 full CGS2 sweeps per restart instead of one per column
+    # (mid-scale A/B: same column count as full; the blocked cycle cut
+    # traffic more but paid 1.6-3.3x extra columns).  Certification
+    # CholQR2s the locked block and the polish restores tol.
+    blk = int(os.environ.get("BENCH_FLAGSHIP_BLOCK", "1"))
+    if blk > 1 and ncv % blk != 0:
+        blk = 1
+    reo = os.environ.get("BENCH_FLAGSHIP_REORTH", "partial")
+    if blk > 1:
+        reo = "full"  # blocked path has its own BCGS2+SVQB^2 policy
+    out["ks_tpu_block"] = blk
+    out["ks_tpu_reorth"] = reo
     res = ks_cheb_smallest(op, nev=nev, tol=tol, ncv=ncv, degree=degree,
                            key=jax.random.PRNGKey(12345),
-                           budget_s=budget_s,
+                           budget_s=budget_s, block=blk, reorth=reo,
                            m_extra=int(os.environ.get(
                                "BENCH_FLAGSHIP_MEXTRA", "20")),
                            log=lambda m: _log(f"flagship: {m}"))
@@ -812,19 +826,54 @@ def _flagship_cheb(out, budget_s, _log, nx, ny, nz, nev, tol, ncv):
     out["ks_tpu_cheb_adaptations"] = st["adaptations"]
     out["ks_tpu_probe_s"] = st["probe_s"]
     # orth+restart overhead on the flagship configuration: per-column
-    # cycle time over the polynomial apply's own cost (cycles only —
-    # probe/cert excluded via their recorded timings)
+    # cycle time over the MEASURED filtered apply (cycles only —
+    # probe/cert excluded via their recorded timings).  The r4 metric
+    # used degree * bare-SpMV as the apply baseline, which omits the
+    # Chebyshev recurrence's own axpy traffic (read t_{k-1} each step)
+    # and so misattributed part of the apply to "orth overhead" — time
+    # the actual degree-d polynomial apply instead.
+    try:
+        from slepc_tpu.st.cheb import ChebAmplifyOperator as _CAO
+
+        bop_t = _CAO(op, st["lo"], st["hi"], degree)
+
+        @_jax.jit
+        def _filt_chain(bopx, x, t):
+            x = x * (1.0 + t)
+
+            def body(i, v):
+                y = bopx.mult2d(v)
+                return y / _jnp.linalg.norm(y)
+            y = _jax.lax.fori_loop(0, 3, body, x)
+            return y, _jnp.vdot(y.reshape(-1)[:8], y.reshape(-1)[:8]).real
+
+        xs2 = _jax.random.normal(_jax.random.PRNGKey(9), op.mask2d.shape,
+                                 _jnp.float64) * op.mask2d
+        dt_filt, _sf = _timeit_chain(
+            lambda x, t: _filt_chain(bop_t, x, t), xs2, 3)
+        out["ks_tpu_filtered_apply_ms"] = dt_filt * 1e3
+        _log(f"flagship: measured filtered apply "
+             f"{dt_filt*1e3:.0f} ms (degree*spmv nominal "
+             f"{degree*out.get('ks_tpu_spmv_ms', 0):.0f} ms)")
+        del xs2, bop_t
+    except Exception as e:
+        _log(f"filtered-apply timing failed: {e!r}")
     if st["cols"] > 0 and out.get("ks_tpu_spmv_ms"):
         cyc_cols = st["cols"] - ncv  # probe columns excluded
         cyc_s = wall - st["probe_s"] - st.get("cert_s", 0.0)
         if cyc_cols > 0 and cyc_s > 0:
             col_ms = cyc_s / cyc_cols * 1e3
-            apply_ms = degree * out["ks_tpu_spmv_ms"]
+            apply_ms = out.get("ks_tpu_filtered_apply_ms",
+                               degree * out["ks_tpu_spmv_ms"])
             out["ks_tpu_col_ms"] = col_ms
             out["ks_tpu_orth_overhead"] = col_ms / apply_ms - 1.0
+            out["ks_tpu_orth_overhead_nominal"] = \
+                col_ms / (degree * out["ks_tpu_spmv_ms"]) - 1.0
             _log(f"flagship: {col_ms:.0f} ms/col vs {apply_ms:.0f} ms "
                  f"filtered apply -> orth+restart overhead "
-                 f"{out['ks_tpu_orth_overhead']*100:.0f}%")
+                 f"{out['ks_tpu_orth_overhead']*100:.0f}% "
+                 f"(nominal-baseline "
+                 f"{out['ks_tpu_orth_overhead_nominal']*100:.0f}%)")
     th = np.asarray(res["lam"])[:kfound]
     errs = np.asarray(res["resid"])[:kfound]
     if kfound > 0:

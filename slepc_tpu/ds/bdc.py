@@ -30,7 +30,9 @@ ranks); exact when ``tau=0`` up to roundoff.
 Interfaces:
   dpr1_eig(d, z, rho)           diag(d) + rho z z^T  ->  (w, Q)
   bdc_eig(Ds, Es, tau=0.0)      block tridiag       ->  (w, Q)
-  DSHEP.solve_block_tridiag routes here for large matrices.
+  DSHEP.solve_block_tridiag routes here when ``force=True`` or
+  ``tau > 0`` (accuracy/cost trade requested); ``tau=0`` takes the
+  dense eigh, which wins for full-rank couplings at DS sizes.
 """
 
 from __future__ import annotations
@@ -149,7 +151,11 @@ def dpr1_eig(d: np.ndarray, z: np.ndarray, rho: float,
         tol = 8.0 * np.finfo(float).eps * max(dspread, rho)
 
     # ---- deflation pass 1: tiny z components -> eigenpair (d_k, e_k)
-    keep = np.abs(z) * np.sqrt(rho) > tol * 0.1
+    # LAED2-style criterion on rho*|z_k|, the actual backward
+    # perturbation of dropping z_k — the old |z_k|*sqrt(rho) scaling was
+    # dimensionally inconsistent and degraded large-rho accuracy
+    # (measured ~4e-12 rel at rho ~ 1e12; r4 advisor finding)
+    keep = rho * np.abs(z) > tol * 0.1
     # ---- deflation pass 2: near-equal d among kept -> Givens rotate one
     # z component to zero; the rotated column becomes an exact eigenvector
     # sequential scan: for kept indices in ascending d, merge clusters

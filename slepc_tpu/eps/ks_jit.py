@@ -148,6 +148,100 @@ def _rotate_basis(Q, V, ncv: int):
     return jax.lax.fori_loop(0, nch, body, out)
 
 
+# ---- chunked panel primitives for LARGE f64 blocked cycles ------------
+# Same motive as _rotate_basis: a dot_general on a multi-GB f64 operand
+# materializes (8, ...) f32 split-product temporaries.  Each helper
+# walks the padded row axis in chunks sized so the emulation temp stays
+# ~<= 1 GB.  Reductions mask the clamped-overlap rows of the last chunk
+# (re-reading them would double-count); updates rewrite them with
+# identical values (idempotent).
+
+
+def _panel_rows_per(m: int, Wl: int) -> int:
+    rp = max(8, int(2 * _ROT_CHUNK_BYTES
+                    // max(8 * m * Wl * 4, 1)) // 8 * 8)
+    return rp
+
+
+def _panel_dots_chunked(Vact, Wb):
+    """(m, R, W) x (b, R, W) -> (m, b) row-chunked reduction."""
+    m, R, Wl = Vact.shape
+    b = Wb.shape[0]
+    rows_per = min(_panel_rows_per(max(m, b), Wl), R)
+    nch = -(-R // rows_per)
+
+    def body(i, acc):
+        start = i * rows_per
+        s_cl = jnp.minimum(start, R - rows_per)
+        Vc = jax.lax.dynamic_slice_in_dim(Vact, s_cl, rows_per, axis=1)
+        Wc = jax.lax.dynamic_slice_in_dim(Wb, s_cl, rows_per, axis=1)
+        valid = ((jnp.arange(rows_per) + s_cl) >= start)
+        Wc = Wc * valid[None, :, None].astype(Wc.dtype)
+        return acc + jnp.einsum("krw,mrw->km", Vc, Wc)
+
+    return jax.lax.fori_loop(0, nch, body,
+                             jnp.zeros((m, b), Vact.dtype))
+
+
+def _panel_update_chunked(Vact, C, Wb):
+    """Wb - C^T-combine(Vact), row-chunked: (b, R, W) out."""
+    m, R, Wl = Vact.shape
+    rows_per = min(_panel_rows_per(max(m, Wb.shape[0]), Wl), R)
+    nch = -(-R // rows_per)
+
+    def body(i, out):
+        start = jnp.minimum(i * rows_per, R - rows_per)
+        Vc = jax.lax.dynamic_slice_in_dim(Vact, start, rows_per, axis=1)
+        Wc = jax.lax.dynamic_slice_in_dim(Wb, start, rows_per, axis=1)
+        Oc = Wc - jnp.einsum("km,krw->mrw", C, Vc)
+        return jax.lax.dynamic_update_slice_in_dim(out, Oc, start, axis=1)
+
+    return jax.lax.fori_loop(0, nch, body, Wb)
+
+
+def _panel_update_dots_chunked(Vact, C, Wb):
+    """Fused (Wb - C^T V, V^H (Wb - C^T V)) in ONE pass over Vact —
+    the chunk is read once and serves both the update and the new
+    projection (the bandwidth contract of bv_pallas.panel_update_dots)."""
+    m, R, Wl = Vact.shape
+    b = Wb.shape[0]
+    rows_per = min(_panel_rows_per(max(m, b), Wl), R)
+    nch = -(-R // rows_per)
+
+    def body(i, carry):
+        out, acc = carry
+        start = i * rows_per
+        s_cl = jnp.minimum(start, R - rows_per)
+        Vc = jax.lax.dynamic_slice_in_dim(Vact, s_cl, rows_per, axis=1)
+        Wc = jax.lax.dynamic_slice_in_dim(Wb, s_cl, rows_per, axis=1)
+        Oc = Wc - jnp.einsum("km,krw->mrw", C, Vc)
+        valid = ((jnp.arange(rows_per) + s_cl) >= start)
+        Om = Oc * valid[None, :, None].astype(Oc.dtype)
+        acc = acc + jnp.einsum("krw,mrw->km", Vc, Om)
+        out = jax.lax.dynamic_update_slice_in_dim(out, Oc, s_cl, axis=1)
+        return out, acc
+
+    out, acc = jax.lax.fori_loop(
+        0, nch, body, (Wb, jnp.zeros((m, b), Vact.dtype)))
+    return out, acc
+
+
+def _panel_comb_chunked(M, Wb):
+    """(i,j) combine of a (b, R, W) panel: out_i = sum_j M_ij Wb_j,
+    row-chunked (the X2 = M @ Wb combine of the blocked SVQB)."""
+    b, R, Wl = Wb.shape
+    rows_per = min(_panel_rows_per(b, Wl), R)
+    nch = -(-R // rows_per)
+
+    def body(i, out):
+        start = jnp.minimum(i * rows_per, R - rows_per)
+        Wc = jax.lax.dynamic_slice_in_dim(Wb, start, rows_per, axis=1)
+        Oc = jnp.einsum("ij,jrw->irw", M, Wc)
+        return jax.lax.dynamic_update_slice_in_dim(out, Oc, start, axis=1)
+
+    return jax.lax.fori_loop(0, nch, body, jnp.zeros_like(Wb))
+
+
 def _hep_cycle_body(op, V, H, j0, tol, key, nlock, *, ncv: int, which: str,
                     passes: int, reorth_period: int, reorth: str, nsel: int,
                     orth: str):
@@ -451,14 +545,18 @@ _hep_cycle_impl_don = jax.jit(_hep_cycle_body, static_argnames=_STATICS,
 
 
 def get_ks_hep_cycle_blocked(op, key, ncv: int, b: int,
-                             which: str = "smallest", orth: str = "auto"):
+                             which: str = "smallest", orth: str = "auto",
+                             donate: bool = False):
     """BLOCK restart cycle bound to ``op``; call as
-    ``cycle(V, H, jb0, tol)``."""
+    ``cycle(V, H, jb0, tol)``.  donate=True reuses the V/H buffers in
+    place (production loops at flagship scale)."""
     orth = _resolve_orth(op, orth)
 
     def cycle(V, H, jb0, tol):
-        return _hep_cycle_blocked_impl(op, V, H, jb0, tol, key, ncv=ncv,
-                                       b=b, which=which, orth=orth)
+        impl = _hep_cycle_blocked_impl_don if donate \
+            else _hep_cycle_blocked_impl
+        return impl(op, V, H, jb0, tol, key, ncv=ncv,
+                    b=b, which=which, orth=orth)
 
     return cycle
 
@@ -493,8 +591,7 @@ def ks_hep_cycle_blocked(op, V, H, jb0, tol, key, ncv: int, b: int,
                                    which=which, orth=orth)
 
 
-@partial(jax.jit, static_argnames=("ncv", "b", "which", "orth"))
-def _hep_cycle_blocked_impl(op, V, H, jb0, tol, key, *, ncv: int, b: int,
+def _hep_cycle_blocked_body(op, V, H, jb0, tol, key, *, ncv: int, b: int,
                             which: str, orth: str):
     assert ncv % b == 0
     nb = ncv // b
@@ -516,20 +613,31 @@ def _hep_cycle_blocked_impl(op, V, H, jb0, tol, key, *, ncv: int, b: int,
 
         pall = use_pallas and V.ndim == 3 and V.shape[2] == 512 \
             and V.shape[1] % 8 == 0 and V.dtype == jnp.float32
+        # large f64 bases: route panel products through the row-chunked
+        # helpers so the f64-emulation split temporaries stay ~<= 1 GB
+        # (the flagship-scale failure mode of plain dot_general)
+        f64big = (V.dtype == jnp.float64 and V.ndim == 3
+                  and V.size * 8 > _ROT_CHUNK_BYTES)
 
         def pdots(Vact, Wb):  # (m, b) of <V_k, W_i>
             if pall:
                 return bvp.panel_dots(Vact, Wb)
+            if f64big:
+                return _panel_dots_chunked(Vact, Wb)
             return jnp.einsum("k...,m...->km", Vact.conj(), Wb)
 
         def pupdate(Vact, C, Wb):  # Wb - C^T-combine(Vact)
             if pall:
                 return bvp.panel_update(Vact, C, Wb)
+            if f64big:
+                return _panel_update_chunked(Vact, C, Wb)
             return Wb - jnp.einsum("km,k...->m...", C, Vact)
 
         def pupdate_dots(Vact, C, Wb):
             if pall:
                 return bvp.panel_update_dots(Vact, C, Wb)
+            if f64big:
+                return _panel_update_dots_chunked(Vact, C, Wb)
             W1 = Wb - jnp.einsum("km,k...->m...", C, Vact)
             return W1, jnp.einsum("k...,m...->km", Vact.conj(), W1)
 
@@ -598,7 +706,8 @@ def _hep_cycle_blocked_impl(op, V, H, jb0, tol, key, *, ncv: int, b: int,
             inv2, half2 = svqb_gram(G1)
             M = (inv2 @ inv1).astype(V.dtype)
             Bmat = (half1 @ half2).astype(V.dtype)
-            X2 = jnp.einsum("ij,j...->i...", M, Wb)
+            X2 = _panel_comb_chunked(M, Wb) if f64big \
+                else jnp.einsum("ij,j...->i...", M, Wb)
             V = V.at[m: m + b].set(X2)
             # H block column: projection coeffs + sub-block coupling
             col = jnp.zeros((ncv + b, b), dtype=H.dtype)
@@ -655,6 +764,15 @@ def _hep_cycle_blocked_impl(op, V, H, jb0, tol, key, *, ncv: int, b: int,
 
         beta = jnp.linalg.norm(Blast)
         return V, Hnew, kl // b, k2, theta, errest, beta
+
+
+_BLK_STATICS = ("ncv", "b", "which", "orth")
+_hep_cycle_blocked_impl = jax.jit(_hep_cycle_blocked_body,
+                                  static_argnames=_BLK_STATICS)
+# donating variant: V/H reused in place (flagship-scale bases)
+_hep_cycle_blocked_impl_don = jax.jit(_hep_cycle_blocked_body,
+                                      static_argnames=_BLK_STATICS,
+                                      donate_argnums=(1, 2))
 
 
 def _prepare_fast_operator(eps, op, dtype):
@@ -754,8 +872,12 @@ def ks_hep_solve(eps, op, which: str, Bip=None) -> bool:
             and not np.issubdtype(dtype, np.complexfloating)):
         from .cheb_accel import ks_cheb_smallest
 
+        cheb_blk = int(getattr(eps, "cheb_block", 1) or 1)
+        if cheb_blk > 1:
+            ncv = -(-ncv // cheb_blk) * cheb_blk  # block-aligned basis
         res = ks_cheb_smallest(
             op, nev=eps.nev, tol=eps.tol, ncv=ncv, degree=cheb_deg,
+            block=cheb_blk,
             budget_s=getattr(eps, "cheb_budget_s", None))
         k = int(res["nconv"])
         eps.nconv = k

@@ -117,6 +117,15 @@ class ChebAmplifyOperator:
     def mult(self, x):
         return self._apply(x, self.base.mult)
 
+    def mult2d_block(self, Xb):
+        """Filtered apply on a (b, rows, W) block: the three-term
+        recurrence carries whole blocks, and the base block-SpMV kernel
+        (when present) reads the diagonals once per b columns."""
+        base_blk = getattr(self.base, "mult2d_block", None)
+        if base_blk is None:
+            base_blk = jax.vmap(self.base.mult2d)
+        return self._apply(Xb, base_blk)
+
     mult_h = mult  # Hermitian by construction
 
     # ---- pytree ---------------------------------------------------------

@@ -20,3 +20,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    # `slow` marks multi-minute tests (7-min sharded-EPS compiles, cheb
+    # seed sweeps, 2-process multihost): the fast default loop is
+    # `pytest -m "not slow"` (~5 min); CI/driver runs the full suite.
+    config.addinivalue_line(
+        "markers", "slow: multi-minute test (deselect with -m 'not slow')")
