@@ -589,6 +589,16 @@ def main():
         _gc.collect()
         _emit("sinvert_tpu")
 
+    # ---- split-complex NHEP on TPU (VERDICT r4 item 3): complex
+    # operator as two real planes, Arnoldi/KS cycles jitted on device ----
+    if on_tpu and os.environ.get("BENCH_NHEP_TPU", "1") != "0" \
+            and _remaining() > 150:
+        try:
+            _nhep_split_tpu(out, _log)
+        except Exception as e:
+            _log(f"nhep_split_tpu failed: {e!r}")
+        _emit("nhep_tpu")
+
     # ---- host-orchestrated module families: one TPU wall-clock +
     # dispatch-count sample each (NLEIGS, PEP-TOAR) so relay-latency
     # regressions become visible (VERDICT r3 item 7) ----
@@ -891,6 +901,71 @@ def _flagship_cheb(out, budget_s, _log, nx, ny, nz, nev, tol, ncv):
     else:
         out["ks_tpu_correct"] = False
         _log(f"flagship: nothing converged in {wall:.0f}s")
+
+
+def _nhep_split_tpu(out, _log):
+    """1M-row complex tridiagonal NHEP on TPU via the split-complex
+    (two-real-planes) Krylov path — the first genuinely complex family
+    running on the TPU fast path (the axon PJRT rejects C64/C128).
+    Correctness vs scipy.sparse.linalg.eigs on the same matrix."""
+    import jax
+
+    from slepc_tpu.eps.nhep_split import nhep_split_solve
+    from slepc_tpu.ops.complex_split import SplitComplexDIAOperator
+
+    t0 = time.perf_counter()
+    n = 1 << 20
+    rng = np.random.default_rng(5)
+    th = np.linspace(0, 4 * np.pi, n)
+    r = np.linspace(0.5, 3.0, n)
+    d = (r * np.exp(1j * th)).astype(np.complex64)
+    off = 0.05 * (rng.standard_normal(n)
+                  + 1j * rng.standard_normal(n)).astype(np.complex64)
+    lo = np.zeros(n, np.complex64)
+    hi = np.zeros(n, np.complex64)
+    hi[: n - 1] = off[: n - 1]
+    lo[1:] = off[: n - 1] * 0.3
+    nev, ncv, tol = 6, 32, 1e-4
+    _log(f"nhep_tpu: {n/1e6:.2f}M-row complex tridiagonal, k={nev} "
+         f"largest-magnitude, split-complex f32 planes")
+    op = SplitComplexDIAOperator.from_complex_dia((-1, 0, 1),
+                                                  np.stack([lo, d, hi]))
+    out["nhep_tpu_padded"] = bool(op.padded)
+    tc0 = time.perf_counter()
+    res = nhep_split_solve(op, nev=nev, ncv=ncv, tol=tol,
+                           key=jax.random.PRNGKey(2), max_cycles=120)
+    wall = time.perf_counter() - t0
+    out["nhep_tpu_rows"] = n
+    out["nhep_tpu_nconv"] = int(res["nconv"])
+    out["nhep_tpu_cycles"] = res["stats"]["cycles"]
+    out["nhep_tpu_cols"] = res["stats"]["cols"]
+    out["nhep_tpu_time_s"] = wall
+    out["nhep_tpu_max_resid"] = float(np.max(res["resid"][:nev]))
+    # host reference on the identical matrix
+    try:
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+
+        A = sp.diags([lo[1:], d, hi[: n - 1]], [-1, 0, 1],
+                     format="csr").astype(np.complex128)
+        ref = spla.eigs(A, k=nev, which="LM",
+                        return_eigenvectors=False, maxiter=3000)
+        got = np.sort_complex(np.asarray(res["lam"][:nev]))
+        refs = np.sort_complex(ref)
+        out["nhep_tpu_eig_relerr"] = float(
+            np.abs(got - refs).max() / np.abs(refs).max())
+    except Exception as e:
+        _log(f"nhep_tpu host reference failed: {e!r}")
+        out["nhep_tpu_eig_relerr"] = float("nan")
+    out["nhep_tpu_correct"] = bool(
+        res["nconv"] >= nev
+        and out["nhep_tpu_max_resid"] < 100 * tol
+        and (np.isnan(out["nhep_tpu_eig_relerr"])
+             or out["nhep_tpu_eig_relerr"] < 1e-2))
+    _log(f"nhep_tpu: k2={res['nconv']} in {res['stats']['cycles']} cycles "
+         f"/ {wall:.0f}s; max resid {out['nhep_tpu_max_resid']:.2e}, "
+         f"eig relerr {out['nhep_tpu_eig_relerr']:.2e}, "
+         f"correct={out['nhep_tpu_correct']}")
 
 
 def _module_timings(out, _log):

@@ -95,6 +95,66 @@ class TestChebSeedSweep:
             assert np.abs(got - exact).max() < 1e-9, f"seed {seed}"
 
 
+class TestSplitComplexNHEP:
+    """Split-complex (two-real-planes) tier: complex DIA SpMV + the
+    Arnoldi/Krylov-Schur NHEP path in real arithmetic (VERDICT r4 item 3;
+    reference complex-scalar surface, include/slepcmath.h)."""
+
+    def _spiral_tridiag(self, n, dtype=np.complex128, seed=0):
+        rng = np.random.default_rng(seed)
+        th = np.linspace(0, 4 * np.pi, n)
+        r = np.linspace(0.5, 3.0, n)
+        d = (r * np.exp(1j * th)).astype(dtype)
+        off = 0.05 * (rng.standard_normal(n)
+                      + 1j * rng.standard_normal(n)).astype(dtype)
+        lo = np.zeros(n, dtype)
+        hi = np.zeros(n, dtype)
+        hi[: n - 1] = off[: n - 1]
+        lo[1:] = off[: n - 1] * 0.3
+        return lo, d, hi
+
+    def test_mult_split_matches_scipy(self):
+        import scipy.sparse as sp
+
+        from slepc_tpu.ops.complex_split import SplitComplexDIAOperator
+
+        n = 4000
+        lo, d, hi = self._spiral_tridiag(n)
+        op = SplitComplexDIAOperator.from_complex_dia(
+            (-1, 0, 1), np.stack([lo, d, hi]))
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        y = op.unpad_split(op.mult_split(op.pad_split(x)))
+        A = sp.diags([lo[1:], d, hi[: n - 1]], [-1, 0, 1]).tocsr()
+        ref = A @ x
+        assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-12
+
+    def test_nhep_split_solve_vs_scipy(self):
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+
+        import jax
+
+        from slepc_tpu.eps.nhep_split import nhep_split_solve
+        from slepc_tpu.ops.complex_split import SplitComplexDIAOperator
+
+        n = 3000
+        lo, d, hi = self._spiral_tridiag(n)
+        op = SplitComplexDIAOperator.from_complex_dia(
+            (-1, 0, 1), np.stack([lo, d, hi]))
+        res = nhep_split_solve(op, nev=6, ncv=32, tol=1e-10,
+                               key=jax.random.PRNGKey(1))
+        assert res["nconv"] >= 6
+        assert res["resid"][:6].max() < 1e-8
+        A = sp.diags([lo[1:], d, hi[: n - 1]], [-1, 0, 1],
+                     format="csc").astype(complex)
+        ref = spla.eigs(A, k=6, which="LM", return_eigenvectors=False,
+                        maxiter=5000)
+        got = np.sort_complex(res["lam"][:6])
+        refs = np.sort_complex(ref)
+        assert np.abs(got - refs).max() / np.abs(refs).max() < 1e-8
+
+
 class TestBDCDeflationScaling:
     """r4 advisor: pass-1 deflation must use the LAED2-style rho*|z_k|
     criterion so deflation error stays O(tol) uniformly in rho."""
