@@ -56,6 +56,23 @@ class _ShiftFactorCache:
     def _shifted_op(self, sigma: float):
         import scipy.sparse as sp
 
+        from ..mat.linop import DIAOperator
+
+        A, B = self.eps.A, self.eps.B
+        if (isinstance(A, DIAOperator) and set(A.offsets) <= {-1, 0, 1}
+                and not np.issubdtype(np.dtype(A.dtype),
+                                      np.complexfloating)
+                and (B is None or (isinstance(B, DIAOperator)
+                                   and B.offsets == (0,)))):
+            # keep the DIA/tridiagonal structure so DirectSolver routes
+            # to the on-device associative-scan LDL^T backend
+            dd = np.asarray(A.diags).copy()
+            i0 = A.offsets.index(0)
+            if B is None:
+                dd[i0] = dd[i0] - sigma
+            else:
+                dd[i0] = dd[i0] - sigma * np.asarray(B.diags[0])
+            return DIAOperator(A.offsets, dd)
         As = self.eps.A.to_scipy()
         if self.eps.B is not None:
             S = As - sigma * self.eps.B.to_scipy()

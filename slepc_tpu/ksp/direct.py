@@ -37,12 +37,28 @@ class DirectSolver:
         if backend == "auto":
             if isinstance(A, DenseOperator):
                 backend = "dense"
+            elif self._is_tridiag_device():
+                # symmetric tridiagonal DIA: whole factor/solve/inertia
+                # pipeline stays ON DEVICE (associative-scan LDL^T,
+                # ksp/tridiag_device.py) — no host transfer, no serial
+                # Python Sturm loop; the tier that lets spectrum slicing
+                # run its shift certificates at multi-million rows
+                backend = "tridiag_device"
             elif isinstance(A, (DIAOperator, AIJOperator)):
                 backend = "ldl" if self._is_symmetric_real() else "splu"
             else:
                 backend = "dense" if self.n <= 4096 else "splu"
         self.backend = backend
         self._factored = False
+
+    def _is_tridiag_device(self) -> bool:
+        if not isinstance(self.A, DIAOperator):
+            return False
+        if np.issubdtype(self.dtype, np.complexfloating):
+            return False
+        from .tridiag_device import tridiag_of_operator
+
+        return tridiag_of_operator(self.A) is not None
 
     def _is_symmetric_real(self) -> bool:
         if np.issubdtype(self.dtype, np.complexfloating):
@@ -60,6 +76,13 @@ class DirectSolver:
 
     def _factor(self):
         self._factored = True
+        if self.backend == "tridiag_device":
+            from .tridiag_device import tridiag_of_operator
+
+            a, b = tridiag_of_operator(self.A)
+            self._td_a = jnp.asarray(a)
+            self._td_b = jnp.asarray(b)
+            return
         if self.backend == "ldl":
             from ..native.ldl import LDLFactorization, ldl_available
 
@@ -91,6 +114,12 @@ class DirectSolver:
     def solve(self, b):
         if not self._factored:
             self._factor()
+        if self.backend == "tridiag_device":
+            from .tridiag_device import tridiag_solve
+
+            return tridiag_solve(self._td_a, self._td_b,
+                                 jnp.zeros((), self._td_a.dtype),
+                                 jnp.asarray(b, self._td_a.dtype))
         if self.backend == "dense":
             return jax.scipy.linalg.lu_solve((self._lu, self._piv), b)
         if self.backend == "ldl":
@@ -130,7 +159,7 @@ class DirectSolver:
         """Solve A^H x = b (needed by two-sided methods)."""
         if not self._factored:
             self._factor()
-        if self.backend == "ldl":
+        if self.backend in ("ldl", "tridiag_device"):
             return self.solve(b)  # symmetric factorization
         if self.backend == "dense":
             return jax.scipy.linalg.lu_solve((self._lu, self._piv), b, trans=2)
@@ -149,6 +178,14 @@ class DirectSolver:
 
     def inertia(self) -> Tuple[int, int, int]:
         """(n_neg, n_zero, n_pos) for the symmetric operator."""
+        if self.backend == "tridiag_device":
+            if not self._factored:
+                self._factor()
+            from .tridiag_device import tridiag_inertia as _ti_dev
+
+            neg = int(_ti_dev(self._td_a, self._td_b,
+                              jnp.zeros((), self._td_a.dtype)))
+            return neg, 0, self.n - neg
         if isinstance(self.A, DIAOperator) and set(self.A.offsets) <= {-1, 0, 1}:
             d = np.asarray(self.A.diags[self.A.offsets.index(0)])
             if 1 in self.A.offsets:

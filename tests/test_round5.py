@@ -155,6 +155,88 @@ class TestSplitComplexNHEP:
         assert np.abs(got - refs).max() / np.abs(refs).max() < 1e-8
 
 
+class TestTridiagDevice:
+    """Device-side tridiagonal LDL^T (associative-scan Moebius/affine
+    recurrences): factor, solve, inertia — the slicing certificate tier
+    (VERDICT r4 item 4; reference ks-slice.c:227-258, stsles.c:35-59)."""
+
+    def _rand_tridiag(self, n, seed=0):
+        rng = np.random.default_rng(seed)
+        a = 2.0 + 0.1 * rng.standard_normal(n)
+        b = -1.0 + 0.05 * rng.standard_normal(n - 1)
+        return a, b
+
+    def test_inertia_matches_eigvals(self):
+        import scipy.linalg as sla
+
+        from slepc_tpu.ksp.tridiag_device import tridiag_inertia
+
+        a, b = self._rand_tridiag(3000)
+        w = sla.eigh_tridiagonal(a, b, eigvals_only=True)
+        for sigma in (0.1, 1.0, 2.0, 3.5):
+            assert int(tridiag_inertia(a, b, sigma)) == int(
+                np.sum(w < sigma))
+
+    def test_solve_with_refinement(self):
+        from slepc_tpu.ksp.tridiag_device import tridiag_solve
+
+        n = 4000
+        a, b = self._rand_tridiag(n, seed=1)
+        rng = np.random.default_rng(2)
+        rhs = rng.standard_normal(n)
+        for sigma in (0.37, 1.9, 3.2):
+            x = np.asarray(tridiag_solve(a, b, sigma, rhs))
+            T = np.diag(a - sigma) + np.diag(b, 1) + np.diag(b, -1)
+            assert (np.linalg.norm(T @ x - rhs)
+                    / np.linalg.norm(rhs)) < 5e-13
+
+    def test_directsolver_routes_tridiag_device(self):
+        from slepc_tpu.ksp.direct import DirectSolver
+        from slepc_tpu.mat.linop import DIAOperator
+
+        n = 2000
+        a, b = self._rand_tridiag(n, seed=3)
+        lo = np.zeros(n)
+        hi = np.zeros(n)
+        hi[: n - 1] = b
+        lo[1:] = b
+        A = DIAOperator((-1, 0, 1), np.stack([lo, a, hi]))
+        ds = DirectSolver(A)
+        assert ds.backend == "tridiag_device"
+        neg, zero, pos = ds.inertia()
+        import scipy.linalg as sla
+
+        w = sla.eigh_tridiagonal(a, b, eigvals_only=True)
+        assert neg == int(np.sum(w < 0))
+        rhs = np.random.default_rng(4).standard_normal(n)
+        x = np.asarray(ds.solve(jnp.asarray(rhs)))
+        T = np.diag(a) + np.diag(b, 1) + np.diag(b, -1)
+        assert np.linalg.norm(T @ x - rhs) / np.linalg.norm(rhs) < 1e-12
+
+    def test_slicing_through_device_backend(self):
+        import slepc_tpu as stt
+        from slepc_tpu.mat.linop import DIAOperator
+
+        n = 4000
+        a = np.full(n, 2.0)
+        b = np.full(n - 1, -1.0)
+        lo = np.zeros(n)
+        hi = np.zeros(n)
+        hi[: n - 1] = b
+        lo[1:] = b
+        A = DIAOperator((-1, 0, 1), np.stack([lo, a, hi]))
+        ks = np.arange(1, n + 1)
+        exact = 2 - 2 * np.cos(ks * np.pi / (n + 1))
+        intl = (0.002, 0.01)
+        expect = np.sort(exact[(exact > intl[0]) & (exact < intl[1])])
+        eps = stt.EPS(A, problem_type="hep", nev=len(expect), tol=1e-9)
+        eps.set_interval(*intl)
+        eps.solve()
+        assert eps.nconv == len(expect)
+        got = np.sort(eps.eigenvalues[: eps.nconv].real)
+        assert np.abs(got - expect).max() < 1e-8
+
+
 class TestBDCDeflationScaling:
     """r4 advisor: pass-1 deflation must use the LAED2-style rho*|z_k|
     criterion so deflation error stays O(tol) uniformly in rho."""
