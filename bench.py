@@ -1026,7 +1026,7 @@ def _module_timings_body(out, _log, stt, laplacian_2d, DIAOperator,
         mats = [mI, A0, A1]
         fns = [stt.FNRational([1.0, 0.0]), stt.FNRational([1.0]),
                stt.FNExp()]
-        fns[2].set_scale(1.0, -1.0)
+        fns[2].set_scale(-1.0)
         events.log_reset()
         events.log_begin()
         t0 = time.perf_counter()

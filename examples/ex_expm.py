@@ -19,7 +19,7 @@ n = 400
 A = st.laplacian_1d(n) * (-1.0)  # heat equation generator
 b = np.ones(n)
 fn = st.FNExp()
-fn.set_scale(1.0, 0.1)  # t = 0.1
+fn.set_scale(0.1)  # inner scale: t = 0.1
 for solver in ("krylov", "expokit"):
     mfn = st.MFN(A, fn, ncv=30, solver=solver)
     y = np.asarray(mfn.solve(b))

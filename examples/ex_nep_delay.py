@@ -29,7 +29,7 @@ mI = st.DIAOperator((0,), -np.ones((1, n)))
 nep = st.NEP(nev=3, solver="nleigs", target=-1.0, tol=1e-9)
 # split form: T(lam) = lam*(-I) + 1*A0 + e^{-tau lam} * A1
 fns = [st.FNRational([1.0, 0.0]), st.FNRational([1.0]), st.FNExp()]
-fns[2].set_scale(1.0, -tau)
+fns[2].set_scale(-tau)
 nep.set_split_operators([mI, A0, A1], fns)
 nep.set_rg(st.RGEllipse(center=-1.0, radius=1.5, vscale=0.5))
 nep.solve()

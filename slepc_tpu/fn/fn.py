@@ -34,7 +34,11 @@ class _FNMeta(type):
 
 
 class FN(metaclass=_FNMeta):
-    """Base scalar/matrix function with FNSetScale semantics."""
+    """Base scalar/matrix function with FNSetScale semantics:
+    alpha = INNER scaling (argument), beta = OUTER scaling (result),
+    evaluate beta * f(alpha * x) — exactly the reference convention
+    (FNSetScale, src/sys/classes/fn/interface/fnbasic.c:263-286; the
+    round-5 NEP-delay golden caught the arguments reversed)."""
 
     def __init__(self, alpha: complex = 1.0, beta: complex = 1.0):
         self.alpha = alpha
@@ -52,23 +56,25 @@ class FN(metaclass=_FNMeta):
         raise NotImplementedError
 
     def set_scale(self, alpha, beta=1.0):
+        """alpha: inner (argument) scale; beta: outer (result) scale."""
         self.alpha, self.beta = alpha, beta
 
     def set_method(self, m: int):
         self.method = m
 
     def eval(self, x):
-        """alpha * f(beta x) (reference FNEvaluateFunction)."""
-        return self.alpha * self._f(self.beta * np.asarray(x))
+        """beta * f(alpha x) (reference FNEvaluateFunction)."""
+        return self.beta * self._f(self.alpha * np.asarray(x))
 
     def eval_deriv(self, x):
-        """alpha*beta*f'(beta x) (reference FNEvaluateDerivative)."""
-        return self.alpha * self.beta * self._fprime(self.beta * np.asarray(x))
+        """beta*alpha*f'(alpha x) (reference FNEvaluateDerivative)."""
+        return self.beta * self.alpha * self._fprime(
+            self.alpha * np.asarray(x))
 
     def eval_mat(self, A) -> np.ndarray:
-        """alpha * f(beta A) for dense A (reference FNEvaluateFunctionMat)."""
+        """beta * f(alpha A) for dense A (reference FNEvaluateFunctionMat)."""
         A = np.asarray(A)
-        return self.alpha * self._fmat(self.beta * A)
+        return self.beta * self._fmat(self.alpha * A)
 
     def eval_mat_vec(self, A, b) -> np.ndarray:
         """f(A) b (reference FNEvaluateFunctionMatVec); A small dense."""

@@ -82,7 +82,7 @@ class MFN:
 
     def _solve_expokit(self, b) -> jnp.ndarray:
         """Exp-specialized time-stepping (reference mfnexpokit.c / EXPOKIT
-        dgexpv): y = alpha * exp(beta A) b via adaptive substeps
+        dgexpv): y = beta * exp(alpha A) b via adaptive substeps
         y <- exp(tau A) y, each a fixed-dimension Krylov approximation with
         the phi-augmented Hessenberg supplying the local error estimate."""
         from ..fn.fn import FNExp
@@ -97,8 +97,8 @@ class MFN:
         if self.tol is None:
             self.tol = 1e-8 if dtype.itemsize >= 8 else 1e-5
         m = min(self.ncv, n, 30)
-        T = self.fn.beta  # total "time"
-        alpha = self.fn.alpha
+        T = self.fn.alpha  # total "time" (inner scale)
+        outer = self.fn.beta
         y = jnp.asarray(b, dtype=dtype)
         t_done = 0.0
         tau = T  # try one step first; adapt down on error
@@ -145,7 +145,7 @@ class MFN:
             if bool(brk):
                 self.reason = MFNConvergedReason.CONVERGED_TOL
                 break
-        return alpha * y
+        return outer * y
 
     def _solve_krylov(self, b) -> jnp.ndarray:
         A = self.A

@@ -262,7 +262,7 @@ def test_fn_scalar_and_matrix():
     np.testing.assert_allclose(f.eval_mat(A), sla.expm(A), atol=1e-12)
     f.set_method(1)  # own Padé
     np.testing.assert_allclose(f.eval_mat(A), sla.expm(A), atol=1e-10)
-    f.set_scale(2.0, 0.5)
+    f.set_scale(0.5, 2.0)  # beta*f(alpha*x): 2*exp(0.5x)
     np.testing.assert_allclose(f.eval_mat(A), 2 * sla.expm(0.5 * A), atol=1e-10)
 
     Aspd = A @ A.T + 2 * np.eye(8)

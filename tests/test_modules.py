@@ -148,7 +148,7 @@ def _delay_nep(n=40, tau=1.0):
     fns = [st.FNRational([1.0, 0.0]),  # f(x) = x  (multiplies -I)
            st.FNRational([1.0]),  # 1
            st.FNExp()]
-    fns[2].set_scale(1.0, -tau)  # exp(-tau x)
+    fns[2].set_scale(-tau)  # exp(-tau x)
     return mats, fns
 
 

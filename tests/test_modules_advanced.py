@@ -17,7 +17,7 @@ def _delay_problem(n=40, tau=1.0):
     A1 = np.diag(b)
     mats = [st.DenseOperator(-np.eye(n)), st.DenseOperator(A0), st.DenseOperator(A1)]
     fns = [st.FNRational([1.0, 0.0]), st.FNRational([1.0]), st.FNExp()]
-    fns[2].set_scale(1.0, -tau)
+    fns[2].set_scale(-tau)
     return mats, fns
 
 

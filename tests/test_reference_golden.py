@@ -53,6 +53,133 @@ def test_ex1_output_digits():
         assert f"{g:.7f}" == f"{e:.7f}"
 
 
+def test_svd_grcar_reference_test1_digits():
+    """src/svd/tests/test1.c: condition number of the n=30 Grcar matrix.
+    Published expected output (src/svd/tests/output/test1_1.out):
+    sigma_1=3.2215, sigma_n=0.9551, cond=3.3731 — matched to all 4
+    printed decimals."""
+    import scipy.sparse as sp
+
+    from slepc_tpu.mat.linop import AIJOperator
+
+    n = 30
+    G = sp.diags([-np.ones(n - 1), np.ones(n), np.ones(n - 1),
+                  np.ones(n - 2), np.ones(n - 3)], [-1, 0, 1, 2, 3],
+                 format="csr")
+    A = AIJOperator.from_scipy(G.astype(np.float64))
+    s1 = st.SVD(A, nsv=1, which="largest")
+    s1.solve()
+    sn = st.SVD(A, nsv=1, which="smallest")
+    sn.solve()
+    assert s1.nconv >= 1 and sn.nconv >= 1
+    sig1 = float(s1.sigma[0])
+    sign = float(sn.sigma[0])
+    assert f"{sig1:.4f}" == "3.2215"
+    assert f"{sign:.4f}" == "0.9551"
+    assert f"{sig1/sign:.4f}" == "3.3731"
+
+
+def test_pep_reference_test1_digits():
+    """src/pep/tests/test1.c (ex16-based QEP, 10x11 grid, N=110):
+    published eigenvalues (src/pep/tests/output/test1_1.out):
+    -1.16404+-1.65363i, -0.51784+-1.31039i — matched to all 5 printed
+    decimals."""
+    import scipy.sparse as sp
+
+    from slepc_tpu.mat.linop import AIJOperator, DiagonalOperator
+
+    n, m = 10, 11
+    N = n * m
+    K = sp.lil_matrix((N, N))
+    C = sp.lil_matrix((N, N))
+    for II in range(N):
+        i, j = II // n, II % n
+        if i > 0:
+            K[II, II - n] = -1.0
+        if i < m - 1:
+            K[II, II + n] = -1.0
+        if j > 0:
+            K[II, II - 1] = -1.0
+            C[II, II - 1] = -1.0
+        if j < n - 1:
+            K[II, II + 1] = -1.0
+            C[II, II + 1] = -1.0
+        K[II, II] = 4.0
+        C[II, II] = 2.0
+    M = DiagonalOperator(np.arange(1, N + 1).astype(np.float64))
+    # solver="linear" honors which=LARGEST_MAGNITUDE on the linearized
+    # pencil (our TOAR is target-driven: shift-invert at sigma, which
+    # finds nearest-target — the 0.0494-magnitude pairs here)
+    pep = st.PEP([AIJOperator.from_scipy(K.tocsr()),
+                  AIJOperator.from_scipy(C.tocsr()), M],
+                 nev=4, ncv=40, which=Which.LARGEST_MAGNITUDE, tol=1e-9,
+                 solver="linear")
+    pep.solve()
+    assert pep.nconv >= 4
+    got = pep.eigenvalues[:4]
+    got = got[np.lexsort((np.sign(got.imag), np.round(-got.real, 6)))]
+    want = [-1.16404 + 1.65363j, -1.16404 - 1.65363j,
+            -0.51784 + 1.31039j, -0.51784 - 1.31039j]
+    want = np.asarray(want)
+    want = want[np.lexsort((np.sign(want.imag), np.round(-want.real, 6)))]
+    for g, w in zip(got, want):
+        assert f"{g.real:.5f}" == f"{w.real:.5f}", (g, w)
+        assert f"{abs(g.imag):.5f}" == f"{abs(w.imag):.5f}", (g, w)
+
+
+def test_nep_delay_reference_test10_digits():
+    """src/nep/tests/test10.c (ex22-based 1-D delay problem, n=128,
+    tau=0.001, a=20): published eigenvalue 0.80889
+    (src/nep/tests/output/test10_1.out) — matched to all 5 printed
+    decimals."""
+    from slepc_tpu.mat.linop import DIAOperator
+
+    n, tau, a = 128, 0.001, 20.0
+    h = np.pi / (n + 1)
+    main = np.full(n, -2.0 / (h * h) + a)
+    up = np.zeros(n)
+    up[: n - 1] = 1.0 / (h * h)
+    lo = np.zeros(n)
+    lo[1:] = 1.0 / (h * h)
+    A = DIAOperator((-1, 0, 1), np.stack([lo, main, up]))
+    Id = DIAOperator((0,), np.ones((1, n)))
+    xi = (np.arange(n) + 1) * h
+    b = -4.1 + xi * (1.0 - np.exp(xi - np.pi))
+    B = DIAOperator((0,), b[None, :])
+    f1 = st.FNRational([-1.0, 0.0])  # -lambda
+    f2 = st.FNRational([1.0])
+    f3 = st.FNExp()
+    f3.set_scale(-tau, 1.0)
+    nep = st.NEP(nev=1, solver="slp", target=0.55, tol=1e-9)
+    nep.set_split_operators([Id, A, B], [f1, f2, f3])
+    nep.solve()
+    assert nep.nconv >= 1
+    lam = nep.eigenvalues[0]
+    assert f"{lam.real:.5f}" == "0.80889", lam
+    assert abs(lam.imag) < 1e-6
+
+
+def test_mfn_exp_reference_test2_digits():
+    """src/mfn/tests/test2.c: y = exp(0.3*A)*ones on the 25x25 2-D
+    Laplacian (N=625).  Published norm (src/mfn/tests/output/
+    test2_1.out): 26.7835 — matched to all 4 printed decimals; the
+    repeated half-step property ||exp(tA)v - exp(tA/2)exp(tA/2)v|| ~ 0
+    the reference checks holds too."""
+    nn = 25
+    A = st.laplacian_2d(nn, nn, dtype=np.float64)
+    f = st.FNExp()
+    f.set_scale(0.3, 1.0)
+    mfn = st.MFN(A, f, ncv=30, tol=1e-10)
+    v = np.ones(nn * nn)
+    y = np.asarray(mfn.solve(v))
+    assert f"{np.linalg.norm(y):.4f}" == "26.7835"
+    f2 = st.FNExp()
+    f2.set_scale(0.15, 1.0)
+    mfn2 = st.MFN(A, f2, ncv=30, tol=1e-10)
+    y2 = np.asarray(mfn2.solve(np.asarray(mfn2.solve(v))))
+    assert np.linalg.norm(y - y2) / np.linalg.norm(y) < 1e-8
+
+
 def test_reference_datafile_loadable():
     """The reference ships PETSc binary matrices; our loader reads them
     (capability parity — the files themselves stay in the reference tree)."""
