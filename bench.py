@@ -814,13 +814,24 @@ def _flagship_cheb(out, budget_s, _log, nx, ny, nz, nev, tol, ncv):
     reo = os.environ.get("BENCH_FLAGSHIP_REORTH", "partial")
     if blk > 1:
         reo = "full"  # blocked path has its own BCGS2+SVQB^2 policy
+    kd = int(os.environ.get("BENCH_FLAGSHIP_KEEPDEN", "2"))
+    # restart rotation precision: 'exact' (f64-emulated matmul).  The
+    # 7x-faster mixed (f32-planes) rotation was measured and REJECTED:
+    # its ~3e-7 per-restart noise floors the filtered lock tolerance and
+    # compounds across window adaptations until locked rows stop being
+    # eigenvectors (2.1M validation: nconv 0, NaN windows) — the
+    # lock-and-adapt architecture needs the exact rotation.
+    rmode = os.environ.get("BENCH_FLAGSHIP_ROT", "exact")
     out["ks_tpu_block"] = blk
     out["ks_tpu_reorth"] = reo
+    out["ks_tpu_keep_den"] = kd
+    out["ks_tpu_rot_mode"] = rmode
     res = ks_cheb_smallest(op, nev=nev, tol=tol, ncv=ncv, degree=degree,
                            key=jax.random.PRNGKey(12345),
                            budget_s=budget_s, block=blk, reorth=reo,
+                           keep_den=kd, rot_mode=rmode,
                            m_extra=int(os.environ.get(
-                               "BENCH_FLAGSHIP_MEXTRA", "20")),
+                               "BENCH_FLAGSHIP_MEXTRA", "12")),
                            log=lambda m: _log(f"flagship: {m}"))
     wall = time.perf_counter() - t0
     st = res["stats"]

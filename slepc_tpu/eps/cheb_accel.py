@@ -184,6 +184,23 @@ def _must_drop_basis(V, kc: int) -> bool:
     return V.nbytes > 3_000_000_000
 
 
+def _clamp_window_exp(lo_new: float, lam1: float, hi: float, degree: int,
+                      max_exp: float = 300.0) -> float:
+    """Bound the worst-case amplification exponent degree*acosh(t(lam1)).
+
+    max_exp=300 keeps p-values <= ~1e130 so their SQUARES inside the
+    projected eigh stay far from f64 overflow (the r5 mid-scale TPU run
+    produced lo=nan exactly this way: an unclamped retighten drove
+    p ~ 1e260, eigh overflowed, Rayleigh quotients went NaN and the
+    controller swallowed them)."""
+    for _ in range(120):
+        t1 = (hi + lo_new - 2.0 * min(lam1, lo_new)) / (hi - lo_new)
+        if degree * np.arccosh(max(t1, 1.0)) <= max_exp:
+            break
+        lo_new *= 0.8
+    return lo_new
+
+
 def _next_lo(lamA, k2: int, m_t: int, lo: float, hi: float,
              degree: int) -> float:
     """Window controller: move lo so ~(m_t+2) eigenvalues sit below it."""
@@ -204,15 +221,8 @@ def _next_lo(lamA, k2: int, m_t: int, lo: float, hi: float,
             if lam[-1] > 0 else lo_lin
         lo_new = float(np.clip(max(lo_lin, lo_pow), lo * 1.5, lo * 12.0))
     lo_new = min(lo_new, hi / 4.0)
-    # f64 cosh overflows at ~710: keep the worst-case exponent bounded
-    # even for lambda -> -inf ... use lambda_min ~ 0 (SPD worst case) or
-    # the smallest converged value if we have one
     lam1 = float(lamA[0]) if k2 > 0 else 0.0
-    for _ in range(60):
-        t1 = (hi + lo_new - 2.0 * min(lam1, lo_new)) / (hi - lo_new)
-        if degree * np.arccosh(max(t1, 1.0)) <= 600.0:
-            break
-        lo_new *= 0.8
+    lo_new = _clamp_window_exp(lo_new, lam1, hi, degree)
     return max(lo_new, lo * 1.0000001) if lo_new > lo else lo * 1.2
 
 
@@ -221,7 +231,8 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
                      log=None, m_extra: int = None, tol_b: float = 1e-13,
                      max_cycles: int = 2000, lo0: float = None,
                      hi: float = None, probe: bool = True,
-                     block: int = 1, reorth: str = "full"):
+                     block: int = 1, reorth: str = "full",
+                     keep_den: int = 2, rot_mode: str = "exact"):
     """k smallest eigenpairs of Hermitian ``op`` via Chebyshev-amplified
     Krylov-Schur.  Returns a result dict (lam, resid, X, stats).
 
@@ -337,7 +348,9 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
             return _hep_cycle_impl_don(bop, V, H, j0, tol, key, nlock,
                                        ncv=ncv, which="largest", passes=2,
                                        reorth_period=1, reorth=reorth,
-                                       nsel=0, orth=orth)
+                                       nsel=0, orth=orth,
+                                       keep_den=keep_den,
+                                       rot_mode=rot_mode)
 
     j0 = jnp.asarray(np.int32(0))
     k2 = 0
@@ -489,16 +502,30 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
         if stall >= 3 or (exhausted and k2 < m_t) or slow_tail:
             lamA = _rayleigh_diag(op, V, jnp.asarray(max(k2, 0)))
             lamA_np = np.asarray(lamA[:max(k2, 1)])
-            if slow_tail and k2 >= 2:
+            # NaN guard: a poisoned basis row (overflowed window, polish
+            # interaction) must not poison the controller — drop
+            # non-finite Rayleigh quotients; with none left, fall back
+            # to the k2=0 growth path
+            finite = np.isfinite(lamA_np)
+            if not finite.all():
+                lamA_np = lamA_np[finite]
+                if lamA_np.size == 0:
+                    lamA_np = np.asarray([0.0])
+            if slow_tail and k2 >= 2 and lamA_np.size >= 2:
                 lam_s = np.sort(lamA_np)
                 lo_new = float(lam_s[-1]
                                * ((m_t + 2) / k2) ** 0.8 * 1.1)
                 lo_new = max(lo_new, float(lam_s[-1]) * 1.05)
                 lo_new = min(lo_new, hi / 4.0)
+                lo_new = _clamp_window_exp(lo_new, float(lam_s[0]), hi,
+                                           degree)
                 tag = "retighten"
             else:
-                lo_new = _next_lo(lamA_np, k2, m_t, lo, hi, degree)
+                lo_new = _next_lo(lamA_np, min(k2, lamA_np.size), m_t,
+                                  lo, hi, degree)
                 tag = "adapt"
+            if not np.isfinite(lo_new) or lo_new <= 0:
+                lo_new = lo  # keep the last good window
             log(f"cheb: {tag} lo {lo:.4e} -> {lo_new:.4e} (k2={k2})")
             H = _set_window(lo_new, lamA_np, k2)
             # restart extension at the last complete locked block (blocked

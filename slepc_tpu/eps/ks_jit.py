@@ -242,9 +242,33 @@ def _panel_comb_chunked(M, Wb):
     return jax.lax.fori_loop(0, nch, body, jnp.zeros_like(Wb))
 
 
+def _rotate_basis_mixed(Q, V, ncv: int):
+    """Mixed-precision restart rotation: hi/lo f32 planes x f32(Q) via
+    two PRECISION-HIGHEST f32 MXU matmuls + the Q-tail term.
+
+    The exact f64 rotation is bounded by XLA's f64 emulation (~8 f32
+    split passes, measured 280-340 ms at a (48, 2.1M) basis); this runs
+    7x faster at ~1.5e-7 relative error (f32 accumulation over ncv
+    terms).  ONLY for drivers whose certification re-orthonormalizes and
+    polishes on the original operator (eps/cheb_accel.py: CholQR2 +
+    Rayleigh-Ritz + shifted-MINRES polish absorb per-restart basis noise
+    far above this level — r4 pre-polish residuals were ~7e-8)."""
+    from ..ops.dia_pallas import ds_split
+
+    hp = jax.lax.Precision.HIGHEST
+    Vh, Vl = ds_split(V[:ncv])
+    Qh = Q.astype(jnp.float32)
+    Ql = (Q - Qh.astype(jnp.float64)).astype(jnp.float32)
+    Yh = jnp.einsum("kp,k...->p...", Qh, Vh, precision=hp)
+    Yc = jnp.einsum("kp,k...->p...", Qh, Vl, precision=hp)
+    Yq = jnp.einsum("kp,k...->p...", Ql, Vh, precision=hp)
+    return (Yh.astype(jnp.float64) + Yc.astype(jnp.float64)
+            + Yq.astype(jnp.float64))
+
+
 def _hep_cycle_body(op, V, H, j0, tol, key, nlock, *, ncv: int, which: str,
                     passes: int, reorth_period: int, reorth: str, nsel: int,
-                    orth: str):
+                    orth: str, keep_den: int = 2, rot_mode: str = "exact"):
     use_pallas = orth == "pallas"
     if use_pallas:
         from ..ops import bv_pallas as bvp
@@ -484,8 +508,13 @@ def _hep_cycle_body(op, V, H, j0, tol, key, nlock, *, ncv: int, which: str,
             # level).  The contaminated rows only feed the first two
             # recurrence steps after j0 (three-term locality), so ~3 full
             # sweeps fire per restart and the remaining columns run at
-            # local-orth cost.
+            # local-orth cost.  Mixed-precision rotations inject ~1.5e-7
+            # pairwise drift per restart — seed the monitor there so the
+            # first columns trip full sweeps instead of trusting stale
+            # rows.
             sq0 = float(np.sqrt(jnp.finfo(rdtype).eps))
+            if rot_mode == "mixed":
+                sq0 = max(sq0, 3e-7)
             om0 = jnp.full((ncv + 1,), sq0, rdtype)
             V, H, _, _, _ = jax.lax.fori_loop(
                 j0, ncv, body_partial,
@@ -513,13 +542,20 @@ def _hep_cycle_body(op, V, H, j0, tol, key, nlock, *, ncv: int, which: str,
         k2 = jnp.sum(jnp.cumprod(conv.astype(jnp.int32)))
 
         # ---- restart size ----
-        l = jnp.maximum(1, (ncv - k2) // 2)
+        # keep fraction = 1/keep_den (reference default 0.5, allowed
+        # 0.1-0.9, krylovschur.c:122).  Aggressive truncation (keep_den
+        # 3-4) amortizes the restart rotation — the dominant f64 cost at
+        # flagship scale — over more new columns per cycle.
+        l = jnp.maximum(1, (ncv - k2) // keep_den)
         l = jnp.minimum(l, jnp.maximum(ncv - k2 - 1, 0))
         kl = jnp.minimum(k2 + l, ncv - 1)
 
         # ---- rotate and rebuild (BVMultInPlace + DSTruncate analog) ----
         # transposed layout: new rows = Q^T @ old rows (== columns V Q)
-        Vrot = _rotate_basis(Q, V, ncv)
+        mixed = (rot_mode == "mixed" and V.dtype == jnp.float64
+                 and not jnp.iscomplexobj(Q))
+        Vrot = _rotate_basis_mixed(Q, V, ncv) if mixed \
+            else _rotate_basis(Q, V, ncv)
         V = V.at[:ncv].set(Vrot)
         vres = V[ncv]
         V = jax.lax.dynamic_update_index_in_dim(V, vres, kl, axis=0)
@@ -534,7 +570,7 @@ def _hep_cycle_body(op, V, H, j0, tol, key, nlock, *, ncv: int, which: str,
 
 
 _STATICS = ("ncv", "which", "passes", "reorth_period", "reorth", "nsel",
-            "orth")
+            "orth", "keep_den", "rot_mode")
 _hep_cycle_impl = jax.jit(_hep_cycle_body, static_argnames=_STATICS)
 # donating variant for production solve loops: V/H buffers are reused
 # in place, halving peak HBM (a 10M-row ncv=64 f64 basis is 5.4 GB; the
@@ -878,6 +914,9 @@ def ks_hep_solve(eps, op, which: str, Bip=None) -> bool:
         res = ks_cheb_smallest(
             op, nev=eps.nev, tol=eps.tol, ncv=ncv, degree=cheb_deg,
             block=cheb_blk,
+            reorth=getattr(eps, "cheb_reorth", "full"),
+            rot_mode=getattr(eps, "cheb_rot_mode", "exact"),
+            keep_den=int(getattr(eps, "cheb_keep_den", 2) or 2),
             budget_s=getattr(eps, "cheb_budget_s", None))
         k = int(res["nconv"])
         eps.nconv = k

@@ -123,6 +123,37 @@ def main():
     log(f"E f32-planes: {dt*1e3:.0f} ms  "
         f"relerr={float(jnp.max(jnp.abs(yA - yE)))/scale:.1e}")
 
+    hp = jax.lax.Precision.HIGHEST
+
+    @jax.jit
+    def rotF(Q, V):
+        Vh, Vl = ds_split(V)
+        Qh = Q.astype(jnp.float32)
+        Yh = jnp.einsum("kp,krw->prw", Qh, Vh, precision=hp)
+        Yc = jnp.einsum("kp,krw->prw", Qh, Vl, precision=hp)
+        return Yh.astype(jnp.float64) + Yc.astype(jnp.float64)
+
+    log("F: compiling f32-planes HIGHEST...")
+    dt, yF = timeit(rotF, Q, V)
+    log(f"F f32-planes highest: {dt*1e3:.0f} ms  "
+        f"relerr={float(jnp.max(jnp.abs(yA - yF)))/scale:.1e}")
+
+    @jax.jit
+    def rotG(Q, V):
+        Vh, Vl = ds_split(V)
+        Qh = Q.astype(jnp.float32)
+        Ql = (Q - Qh.astype(jnp.float64)).astype(jnp.float32)
+        Yh = jnp.einsum("kp,krw->prw", Qh, Vh, precision=hp)
+        Yc = jnp.einsum("kp,krw->prw", Qh, Vl, precision=hp)
+        Yq = jnp.einsum("kp,krw->prw", Ql, Vh, precision=hp)
+        return (Yh.astype(jnp.float64) + Yc.astype(jnp.float64)
+                + Yq.astype(jnp.float64))
+
+    log("G: compiling 3-term f32 HIGHEST...")
+    dt, yG = timeit(rotG, Q, V)
+    log(f"G 3-term highest: {dt*1e3:.0f} ms  "
+        f"relerr={float(jnp.max(jnp.abs(yA - yG)))/scale:.1e}")
+
 
 if __name__ == "__main__":
     main()
