@@ -562,7 +562,7 @@ def main():
         budget = min(float(os.environ.get("BENCH_FLAGSHIP_BUDGET", "1500")),
                      _remaining() - 700.0)
         done_fs = False
-        for ncv_try in (int(os.environ.get("BENCH_FLAGSHIP_NCV", "48")), 40):
+        for ncv_try in (int(os.environ.get("BENCH_FLAGSHIP_NCV", "64")), 48):
             if done_fs:
                 break
             try:
@@ -676,7 +676,7 @@ def _flagship(out, budget_s, _log, ncv=None):
         "BENCH_FLAGSHIP_SIDES", "200,225,230").split(","))
     n = nx * ny * nz
     nev, tol = 20, 1e-8
-    ncv = ncv or int(os.environ.get("BENCH_FLAGSHIP_NCV", "48"))
+    ncv = ncv or int(os.environ.get("BENCH_FLAGSHIP_NCV", "64"))
     if os.environ.get("BENCH_FLAGSHIP_CHEB", "1") != "0":
         return _flagship_cheb(out, budget_s, _log, nx, ny, nz, nev, tol, ncv)
     _log(f"flagship: {n/1e6:.2f}M rows 3-D Laplacian, k={nev}, tol={tol}, "
@@ -799,22 +799,20 @@ def _flagship_cheb(out, budget_s, _log, nx, ny, nz, nev, tol, ncv):
     del xs
 
     t0 = time.perf_counter()
-    # m_extra=20: the certified block's boundary must sit well above the
-    # wanted 20 (the CG-polish convergence rate is lam_20/lam_boundary
-    # per round); converging the extra filtered pairs is cheap
-    # orth-traffic lever (BASELINE <=20% gate): default is the
-    # omega-monitored partial reorthogonalization — full Krylov depth,
-    # ~3 full CGS2 sweeps per restart instead of one per column
-    # (mid-scale A/B: same column count as full; the blocked cycle cut
-    # traffic more but paid 1.6-3.3x extra columns).  Certification
-    # CholQR2s the locked block and the polish restores tol.
+    # full CGS2 extension: the omega-monitored partial mode measured
+    # SLOWER at scale (cond-pipelining stalls) and its correctly-scaled
+    # drift monitor under-fires in the filter's huge dynamic range
     blk = int(os.environ.get("BENCH_FLAGSHIP_BLOCK", "1"))
     if blk > 1 and ncv % blk != 0:
         blk = 1
-    reo = os.environ.get("BENCH_FLAGSHIP_REORTH", "partial")
+    reo = os.environ.get("BENCH_FLAGSHIP_REORTH", "full")
     if blk > 1:
         reo = "full"  # blocked path has its own BCGS2+SVQB^2 policy
-    kd = int(os.environ.get("BENCH_FLAGSHIP_KEEPDEN", "2"))
+    kd = int(os.environ.get("BENCH_FLAGSHIP_KEEPDEN", "3"))
+    # rotate only the first nrot rows (rows past the restart keep count
+    # are overwritten by the next extension): ncv=64/nrot=48 pays 3/4 of
+    # the f64-emulated rotation while gaining 64-deep restarts
+    nrt = int(os.environ.get("BENCH_FLAGSHIP_NROT", "48"))
     # restart rotation precision: 'exact' (f64-emulated matmul).  The
     # 7x-faster mixed (f32-planes) rotation was measured and REJECTED:
     # its ~3e-7 per-restart noise floors the filtered lock tolerance and
@@ -826,10 +824,11 @@ def _flagship_cheb(out, budget_s, _log, nx, ny, nz, nev, tol, ncv):
     out["ks_tpu_reorth"] = reo
     out["ks_tpu_keep_den"] = kd
     out["ks_tpu_rot_mode"] = rmode
+    out["ks_tpu_nrot"] = nrt
     res = ks_cheb_smallest(op, nev=nev, tol=tol, ncv=ncv, degree=degree,
                            key=jax.random.PRNGKey(12345),
                            budget_s=budget_s, block=blk, reorth=reo,
-                           keep_den=kd, rot_mode=rmode,
+                           keep_den=kd, rot_mode=rmode, nrot=nrt,
                            m_extra=int(os.environ.get(
                                "BENCH_FLAGSHIP_MEXTRA", "12")),
                            log=lambda m: _log(f"flagship: {m}"))
@@ -880,8 +879,10 @@ def _flagship_cheb(out, budget_s, _log, nx, ny, nz, nev, tol, ncv):
     except Exception as e:
         _log(f"filtered-apply timing failed: {e!r}")
     if st["cols"] > 0 and out.get("ks_tpu_spmv_ms"):
-        cyc_cols = st["cols"] - ncv  # probe columns excluded
-        cyc_s = wall - st["probe_s"] - st.get("cert_s", 0.0)
+        # exclude probe columns AND the compile-laden first cycle
+        cyc_cols = st["cols"] - ncv - st.get("first_cycle_cols", 0)
+        cyc_s = wall - st["probe_s"] - st.get("cert_s", 0.0) \
+            - st.get("first_cycle_s", 0.0)
         if cyc_cols > 0 and cyc_s > 0:
             col_ms = cyc_s / cyc_cols * 1e3
             apply_ms = out.get("ks_tpu_filtered_apply_ms",

@@ -157,6 +157,10 @@ def _orthonormalize_rows(X, *, k: int):
 
         G = jax.lax.fori_loop(0, k, grow, jnp.zeros((k, k), jnp.float64))
         G = 0.5 * (G + G.T)
+        # ridge: a rank-deficient block (degraded basis) must yield a
+        # usable factor instead of NaN-poisoning the certification
+        ridge = 1e-14 * jnp.maximum(jnp.trace(G) / k, 1e-300)
+        G = G + ridge * jnp.eye(k, dtype=jnp.float64)
         L = jnp.linalg.cholesky(G)
         Li = jax.scipy.linalg.solve_triangular(
             L, jnp.eye(k, dtype=jnp.float64), lower=True)
@@ -232,7 +236,8 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
                      max_cycles: int = 2000, lo0: float = None,
                      hi: float = None, probe: bool = True,
                      block: int = 1, reorth: str = "full",
-                     keep_den: int = 2, rot_mode: str = "exact"):
+                     keep_den: int = 2, rot_mode: str = "exact",
+                     nrot: int = 0):
     """k smallest eigenpairs of Hermitian ``op`` via Chebyshev-amplified
     Krylov-Schur.  Returns a result dict (lam, resid, X, stats).
 
@@ -350,7 +355,7 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
                                        reorth_period=1, reorth=reorth,
                                        nsel=0, orth=orth,
                                        keep_den=keep_den,
-                                       rot_mode=rot_mode)
+                                       rot_mode=rot_mode, nrot=nrot)
 
     j0 = jnp.asarray(np.int32(0))
     k2 = 0
@@ -382,11 +387,16 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
             break
         o = cyc(bop, V, H, j0, cur_tol_b, jnp.asarray(k2))
         V, H = o[0], o[1]
-        if t_c0 is not None:
-            log(f"cheb: first filtered cycle done "
-                f"({time.perf_counter() - t_c0:.0f}s incl. compile)")
-            t_c0 = None
         newcols = ncv - int(j0) * block  # j0 is in block units if b>1
+        if t_c0 is not None:
+            # record the compile-laden first cycle so per-column metrics
+            # can exclude it (a short run otherwise reads compile time
+            # as orth overhead)
+            stats["first_cycle_s"] = time.perf_counter() - t_c0
+            stats["first_cycle_cols"] = newcols
+            log(f"cheb: first filtered cycle done "
+                f"({stats['first_cycle_s']:.0f}s incl. compile)")
+            t_c0 = None
         j0 = jnp.asarray(np.int32(int(o[2])))
         # monotone lock watermark: the projected eigh on the huge-range
         # filtered H can wiggle a locked row's errest past tol_b and

@@ -121,6 +121,7 @@ def _rotate_basis(Q, V, ncv: int):
     BENCH r3 notes).  Large f64 rotations therefore run CHUNKED over the
     row axis, bounding the emulation temporary to ~1 GB."""
     Qd = Q.astype(V.dtype)
+    P = Qd.shape[1]  # output rows (may be < ncv: truncated rotation)
     big_f64 = (V.dtype == jnp.float64 and V.ndim == 3
                and V[:ncv].size * 8 > _ROT_CHUNK_BYTES)
     if not big_f64:
@@ -135,7 +136,7 @@ def _rotate_basis(Q, V, ncv: int):
                           // max(8 * K * Wl * 4, 1)) // 8 * 8)
     rows_per = min(rows_per, R)
     nch = -(-R // rows_per)
-    out = jnp.zeros((ncv, R, Wl), V.dtype)
+    out = jnp.zeros((P, R, Wl), V.dtype)
 
     def body(i, out):
         start = jnp.minimum(i * rows_per, R - rows_per)
@@ -266,9 +267,31 @@ def _rotate_basis_mixed(Q, V, ncv: int):
             + Yq.astype(jnp.float64))
 
 
+def _rotate_basis_hybrid(Q, V, ncv: int, nlock):
+    """Hybrid restart rotation: EXACT passthrough for the nlock locked
+    rows, fast mixed-precision rotation for the active block.
+
+    Locked columns of Q are replaced by exact identity columns (an f32
+    matmul against an exact e_p column reproduces V_p BIT-EXACTLY from
+    its hi/lo planes), and locked-row components of active columns are
+    zeroed (they are O(eps) in exact arithmetic: locked rows carry zero
+    coupling in H).  Active rows absorb the mixed rotation's ~3e-7 noise
+    once per cycle but are re-Ritzed every cycle; a row's ONE noisy
+    rotation happens at its locking cycle, after which it passes through
+    exactly — no compounding across window adaptations (the failure mode
+    that sank the all-mixed rotation)."""
+    ar = jnp.arange(ncv)
+    lockc = (ar < nlock)
+    eye = jnp.eye(ncv, dtype=Q.dtype)
+    Qe = jnp.where(lockc[None, :], eye,
+                   jnp.where(lockc[:, None], jnp.zeros_like(Q), Q))
+    return _rotate_basis_mixed(Qe, V, ncv)
+
+
 def _hep_cycle_body(op, V, H, j0, tol, key, nlock, *, ncv: int, which: str,
                     passes: int, reorth_period: int, reorth: str, nsel: int,
-                    orth: str, keep_den: int = 2, rot_mode: str = "exact"):
+                    orth: str, keep_den: int = 2, rot_mode: str = "exact",
+                    nrot: int = 0):
     use_pallas = orth == "pallas"
     if use_pallas:
         from ..ops import bv_pallas as bvp
@@ -427,8 +450,16 @@ def _hep_cycle_body(op, V, H, j0, tol, key, nlock, *, ncv: int, which: str,
             beta_jm1 = jnp.where(j > 0, betav[jnp.maximum(j - 1, 0)], 0.0)
             anorm = jnp.maximum(jnp.max(jnp.abs(alpha)), jnp.abs(alpha_j)) \
                 + 2.0 * jnp.maximum(jnp.max(betav), beta_loc)
-            psi = eps_mach * anorm
             bsafe = jnp.where(beta_loc > 0, beta_loc, 1.0)
+            # roundoff term in OMEGA units (omega estimates |v^T v| <= 1):
+            # the per-step perturbation eps*anorm enters the recurrence
+            # BEFORE the division by beta, so its omega-contribution is
+            # eps*anorm/beta.  The old unscaled eps*anorm blew up on
+            # amplified operators (anorm ~ 1e43+ under a degree-400
+            # Chebyshev filter): omega overflowed within tens of cycles,
+            # inf-inf made it NaN, every NaN>thresh comparison went False
+            # and the monitor silently stopped firing full sweeps.
+            psi = eps_mach * anorm / bsafe
             om_up = jnp.concatenate([om_cur[1:], jnp.zeros(1, rdtype)])
             om_dn = jnp.concatenate([jnp.zeros(1, rdtype), om_cur[:-1]])
             alph = jnp.concatenate([alpha, jnp.zeros(1, rdtype)])
@@ -436,11 +467,14 @@ def _hep_cycle_body(op, V, H, j0, tol, key, nlock, *, ncv: int, which: str,
             bet_dn = jnp.concatenate([jnp.zeros(1, rdtype), betav])
             om_next = (betv * om_up + (alph - alpha_j) * om_cur
                        + bet_dn * om_dn - beta_jm1 * om_prev) / bsafe
-            om_next = jnp.abs(om_next) + psi
+            # clamp at 1: |v^T v| cannot meaningfully exceed it, every
+            # value above the trip threshold acts identically, and the
+            # clamp cuts the overflow cascade
+            om_next = jnp.minimum(jnp.abs(om_next) + psi, 1.0)
             kmask = (jnp.arange(ncv + 1) < j).astype(rdtype)
             om_next = om_next * kmask
             # v_j itself: locally orthogonalized -> eps level
-            om_next = om_next.at[j].set(psi)
+            om_next = om_next.at[j].set(jnp.minimum(psi, 1.0))
 
             # trip threshold sqrt(eps)/sqrt(ncv): the restart rotation
             # V@Q amplifies pairwise drift by ~sqrt(ncv) in the typical
@@ -459,8 +493,9 @@ def _hep_cycle_body(op, V, H, j0, tol, key, nlock, *, ncv: int, which: str,
             # level; om_cur (= drift of v_j, untouched by the sweep) must
             # NOT be reset — erasing it silences the monitor for the
             # restart block and lets unmonitored drift breed ghosts
+            psi_c = jnp.minimum(psi, 1.0)
             om_next = jnp.where(need_full,
-                                (psi * kmask).at[j].set(psi), om_next)
+                                (psi_c * kmask).at[j].set(psi_c), om_next)
 
             V, H = finish_column(V, H, j, w, c_tot, mask)
             return V, H, om_cur, om_next, tripped
@@ -513,7 +548,7 @@ def _hep_cycle_body(op, V, H, j0, tol, key, nlock, *, ncv: int, which: str,
             # first columns trip full sweeps instead of trusting stale
             # rows.
             sq0 = float(np.sqrt(jnp.finfo(rdtype).eps))
-            if rot_mode == "mixed":
+            if rot_mode in ("mixed", "hybrid"):
                 sq0 = max(sq0, 3e-7)
             om0 = jnp.full((ncv + 1,), sq0, rdtype)
             V, H, _, _, _ = jax.lax.fori_loop(
@@ -538,6 +573,13 @@ def _hep_cycle_body(op, V, H, j0, tol, key, nlock, *, ncv: int, which: str,
         resid = beta * jnp.abs(last)
         errest = resid / jnp.maximum(jnp.abs(theta), 1e-300)
         conv = errest < tol
+        if rot_mode == "hybrid":
+            # locked rows carry their one-time rotation noise (~3e-7
+            # relative coupling), which would break the leading-run
+            # count forever; the caller's lock watermark is authoritative
+            # for them, so force-count the locked block and let NEW locks
+            # register at full precision behind it
+            conv = jnp.logical_or(conv, jnp.arange(ncv) < nlock)
         # k2 = length of leading True run
         k2 = jnp.sum(jnp.cumprod(conv.astype(jnp.int32)))
 
@@ -546,17 +588,30 @@ def _hep_cycle_body(op, V, H, j0, tol, key, nlock, *, ncv: int, which: str,
         # 0.1-0.9, krylovschur.c:122).  Aggressive truncation (keep_den
         # 3-4) amortizes the restart rotation — the dominant f64 cost at
         # flagship scale — over more new columns per cycle.
+        # nrot (static, 0 = ncv) caps the ROTATED rows: rows past the
+        # restart keep count are overwritten by the next extension and
+        # need not be rotated at all — the f64-emulated rotation cost
+        # scales with the output rows, so a 64-basis rotating 48 rows
+        # pays 3/4 of the bytes.  k2/kl clamp under it (certification
+        # fires at m_t < nrot long before the cap can bite).
+        nro = nrot if (nrot and nrot < ncv) else ncv
+        k2 = jnp.minimum(k2, nro - 1)
         l = jnp.maximum(1, (ncv - k2) // keep_den)
         l = jnp.minimum(l, jnp.maximum(ncv - k2 - 1, 0))
-        kl = jnp.minimum(k2 + l, ncv - 1)
+        kl = jnp.minimum(k2 + l, nro - 1)
 
         # ---- rotate and rebuild (BVMultInPlace + DSTruncate analog) ----
         # transposed layout: new rows = Q^T @ old rows (== columns V Q)
-        mixed = (rot_mode == "mixed" and V.dtype == jnp.float64
-                 and not jnp.iscomplexobj(Q))
-        Vrot = _rotate_basis_mixed(Q, V, ncv) if mixed \
-            else _rotate_basis(Q, V, ncv)
-        V = V.at[:ncv].set(Vrot)
+        f64r = V.dtype == jnp.float64 and not jnp.iscomplexobj(Q)
+        if rot_mode == "hybrid" and f64r:
+            Vrot = _rotate_basis_hybrid(Q, V, ncv, nlock)
+            V = V.at[:ncv].set(Vrot)
+        elif rot_mode == "mixed" and f64r:
+            Vrot = _rotate_basis_mixed(Q, V, ncv)
+            V = V.at[:ncv].set(Vrot)
+        else:
+            Vrot = _rotate_basis(Q[:, :nro], V, ncv)
+            V = V.at[:nro].set(Vrot)
         vres = V[ncv]
         V = jax.lax.dynamic_update_index_in_dim(V, vres, kl, axis=0)
         keep = (jnp.arange(ncv) < kl).astype(H.dtype)
@@ -570,7 +625,7 @@ def _hep_cycle_body(op, V, H, j0, tol, key, nlock, *, ncv: int, which: str,
 
 
 _STATICS = ("ncv", "which", "passes", "reorth_period", "reorth", "nsel",
-            "orth", "keep_den", "rot_mode")
+            "orth", "keep_den", "rot_mode", "nrot")
 _hep_cycle_impl = jax.jit(_hep_cycle_body, static_argnames=_STATICS)
 # donating variant for production solve loops: V/H buffers are reused
 # in place, halving peak HBM (a 10M-row ncv=64 f64 basis is 5.4 GB; the
