@@ -562,7 +562,10 @@ def main():
         budget = min(float(os.environ.get("BENCH_FLAGSHIP_BUDGET", "1500")),
                      _remaining() - 700.0)
         done_fs = False
-        for ncv_try in (int(os.environ.get("BENCH_FLAGSHIP_NCV", "64")), 48):
+        # descending ncv fallbacks: the shared chip's free memory swings
+        # with other tenants; 64->48->40 rows = 5.4->4.1->3.4 GB bases
+        ncv_env = int(os.environ.get("BENCH_FLAGSHIP_NCV", "64"))
+        for ncv_try in dict.fromkeys((ncv_env, 48, 40)):
             if done_fs:
                 break
             try:

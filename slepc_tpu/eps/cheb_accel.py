@@ -272,7 +272,7 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
     stats = {"cols": 0, "cycles": 0, "adaptations": 0, "certs": 0,
              "probe_s": 0.0}
 
-    # ---- start basis ----------------------------------------------------
+    # ---- start vector ---------------------------------------------------
     use2d = hasattr(op, "mask2d")
     if use2d:
         vshape = op.mask2d.shape
@@ -281,44 +281,43 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
         vshape = (op.shape[0],)
         v0 = jax.random.normal(key, vshape, jnp.float64)
     v0 = (v0 / jnp.linalg.norm(v0)).astype(dtype)
-    V = jnp.zeros((ncv + 1,) + vshape, dtype).at[0].set(v0)
-    H = jnp.zeros((ncv + 1, ncv), dtype)
 
     # ---- bounds: hi from Gershgorin, lo from a plain one-cycle probe ----
+    # the probe runs on its OWN SMALL basis (<= 33 rows): at flagship
+    # scale a full-ncv probe basis plus its rotation output stacked on
+    # top of the main allocation OOMed the chip at ncv=64
     if hi is None:
         log("cheb: computing Gershgorin bound...")
         hi = gershgorin_upper(op)
     if lo0 is None and probe:
         t0 = time.perf_counter()
+        ncv_p = min(ncv, 32)
         log("cheb: compiling+running the plain probe cycle "
             "(f64 remote compiles are slow — minutes)...")
-        # donate=True: at flagship scale the non-donating call keeps both
-        # the input and output basis live (2 x 4.1 GB) and OOMs the chip
-        probe_cyc = get_ks_hep_cycle(op, key, ncv, "smallest",
+        Vp = jnp.zeros((ncv_p + 1,) + vshape, dtype).at[0].set(v0)
+        Hp = jnp.zeros((ncv_p + 1, ncv_p), dtype)
+        # donate=True: the non-donating call keeps input + output bases
+        # live at once
+        probe_cyc = get_ks_hep_cycle(op, key, ncv_p, "smallest",
                                      reorth="full", donate=True)
-        o = probe_cyc(V, H, jnp.asarray(np.int32(0)), 1e-30, 0)
+        o = probe_cyc(Vp, Hp, jnp.asarray(np.int32(0)), 1e-30, 0)
         th = np.asarray(o[4])  # ascending Ritz values; th[0] > lambda_1
         lo0 = float(th[0] + 2e-3 * max(th[-1] - th[0], 1e-30))
         stats["probe_s"] = time.perf_counter() - t0
-        stats["cols"] += ncv
+        stats["cols"] += ncv_p
         log(f"cheb: probe ritz_min={th[0]:.4e} -> lo0={lo0:.4e}, "
             f"hi={hi:.4e} ({stats['probe_s']:.1f}s)")
-        # keep the probe's best Ritz row as the start vector: row 0 is
-        # the current best approximation of the smallest eigenvector.
-        # One donated pass (chained eager .at copies would transiently
-        # hold several extra basis-sized buffers at flagship scale).
-        def _keep_row0(V):
-            m = (jnp.arange(V.shape[0]) == 0).astype(V.dtype)
-            Vz = V * m.reshape((-1,) + (1,) * (V.ndim - 1))
-            nrm = jnp.linalg.norm(Vz[0])
-            return Vz / jnp.where(nrm > 0, nrm, 1.0)
-
-        V, H = o[0], jnp.zeros_like(H)
-        del o
-        V = jax.jit(_keep_row0, donate_argnums=0)(V)
+        # keep the probe's best Ritz row as the start vector (row 0 is
+        # the best current approximation of the smallest eigenvector)
+        v0 = o[0][0]
+        v0 = v0 / jnp.linalg.norm(v0)
+        del o, Vp, Hp
     elif lo0 is None:
         lo0 = hi * 1e-4
     lo = float(lo0)
+    V = jnp.zeros((ncv + 1,) + vshape, dtype).at[0].set(v0)
+    H = jnp.zeros((ncv + 1, ncv), dtype)
+    del v0
 
     # ---- blocked path: re-shape the basis to (ncv + b, ...) with an
     # orthonormal leading block (row 0 = probe's best Ritz vector; the
