@@ -39,6 +39,7 @@ import numpy as np
 from ..ops.jacobi_eigh import eigh_small
 from ..st.cheb import ChebAmplifyOperator, cheb_value, gershgorin_upper
 from .ks_jit import (_hep_cycle_blocked_impl_don, _hep_cycle_impl_don,
+                     _hep_extend_impl_don, _hep_finish_impl_don,
                      _resolve_orth, _rotate_basis, get_ks_hep_cycle)
 
 
@@ -189,14 +190,18 @@ def _must_drop_basis(V, kc: int) -> bool:
 
 
 def _clamp_window_exp(lo_new: float, lam1: float, hi: float, degree: int,
-                      max_exp: float = 300.0) -> float:
+                      max_exp: float = 34.0) -> float:
     """Bound the worst-case amplification exponent degree*acosh(t(lam1)).
 
-    max_exp=300 keeps p-values <= ~1e130 so their SQUARES inside the
-    projected eigh stay far from f64 overflow (the r5 mid-scale TPU run
-    produced lo=nan exactly this way: an unclamped retighten drove
-    p ~ 1e260, eigh overflowed, Rayleigh quotients went NaN and the
-    controller swallowed them)."""
+    max_exp=34 keeps p-values <= ~6e14.  The binding constraint is the
+    TPU's f64 EMULATION: it is double-single over f32, so its dynamic
+    range is f32's (~3.4e38) and a product of two amplified values
+    overflows once each factor passes ~1.9e19 — measured: a degree-400
+    apply with exponent 44 returned all-finite components whose NORM was
+    NaN (the squares overflowed inside the emulated reduction), and the
+    whole cycle NaN-poisoned from there.  e^34 amplification is still
+    astronomically selective; the window controller simply narrows lo
+    accordingly."""
     for _ in range(120):
         t1 = (hi + lo_new - 2.0 * min(lam1, lo_new)) / (hi - lo_new)
         if degree * np.arccosh(max(t1, 1.0)) <= max_exp:
@@ -314,6 +319,9 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
         del o, Vp, Hp
     elif lo0 is None:
         lo0 = hi * 1e-4
+    # the INITIAL window must respect the emulation-range cap too
+    # (lam1 unknown yet: clamp against the SPD worst case lam1=0)
+    lo0 = _clamp_window_exp(float(lo0), 0.0, hi, degree)
     lo = float(lo0)
     V = jnp.zeros((ncv + 1,) + vshape, dtype).at[0].set(v0)
     H = jnp.zeros((ncv + 1, ncv), dtype)
@@ -347,6 +355,48 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
             return _hep_cycle_blocked_impl_don(bop, V, H, j0, tol, key,
                                                ncv=ncv, b=block,
                                                which="largest", orth=orth)
+    elif reorth == "full":
+        # SPLIT cycle: chunked device extension + HOST projected eigh +
+        # device rotation.  Two reasons: (a) per-dispatch work stays
+        # bounded (chunk*degree SpMVs) whatever the degree and chip
+        # weather; (b) the axon f64-emulated eigh returns NaN on the
+        # filtered projected matrices' extreme dynamic range (finite S
+        # with entries 1e-3..2e12 NaN'd on device while LAPACK is exact)
+        # — the reference runs this solve on host LAPACK too (its DS
+        # tier, dshep.c).  The round trip moves one (ncv+1) x ncv block.
+        chunk = max(2, min(ncv, 8000 // max(degree, 1)))
+        from .ks_jit import _hep_rotate_impl_don
+        nro_s = nrot if (nrot and nrot < ncv) else ncv
+
+        def cyc(bop, V, H, j0, tol, nlock):
+            jc = int(j0) * 1
+            while jc < ncv:
+                je = min(jc + chunk, ncv)
+                V, H = _hep_extend_impl_don(
+                    bop, V, H, jnp.asarray(np.int32(jc)),
+                    jnp.asarray(np.int32(je)), key, ncv=ncv, passes=2)
+                jc = je
+            Hh = np.asarray(H)
+            beta = float(abs(Hh[ncv, ncv - 1]))
+            S = 0.5 * (Hh[:ncv, :ncv] + Hh[:ncv, :ncv].T)
+            theta, Q = np.linalg.eigh(S)  # LAPACK, ascending
+            theta, Q = theta[::-1], Q[:, ::-1]  # largest first
+            errest = beta * np.abs(Q[ncv - 1, :]) / np.maximum(
+                np.abs(theta), 1e-300)
+            conv = errest < float(tol)
+            k2 = int(np.cumprod(conv).sum())
+            k2 = min(k2, nro_s - 1)
+            l = max(1, (ncv - k2) // keep_den)
+            l = min(l, max(ncv - k2 - 1, 0))
+            kl = min(k2 + l, nro_s - 1)
+            V = _hep_rotate_impl_don(
+                V, jnp.asarray(Q[:, :nro_s]),
+                jnp.asarray(np.int32(kl)), ncv=ncv)
+            Hn = np.zeros_like(Hh)
+            keepm = np.arange(ncv) < kl
+            Hn[np.arange(ncv), np.arange(ncv)] = theta * keepm
+            Hn[kl, :ncv] = (beta * Q[ncv - 1, :]) * keepm
+            return (V, jnp.asarray(Hn), kl, k2, theta, errest, beta)
     else:
         def cyc(bop, V, H, j0, tol, nlock):
             return _hep_cycle_impl_don(bop, V, H, j0, tol, key, nlock,

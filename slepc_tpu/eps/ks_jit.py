@@ -626,6 +626,152 @@ def _hep_cycle_body(op, V, H, j0, tol, key, nlock, *, ncv: int, which: str,
 
 _STATICS = ("ncv", "which", "passes", "reorth_period", "reorth", "nsel",
             "orth", "keep_den", "rot_mode", "nrot")
+# ---- split-cycle variant: extension chunks + finish as SEPARATE
+# dispatches.  The axon TPU worker corrupts/drops programs whose single
+# dispatch runs much past ~20 s (r4: a fused 40k-SpMV polish program
+# crashed it; r5: a degree-450 x 48-column fused cycle returned NaN
+# theta while the identical math at degree 300, ~13 s, was fine).  A
+# high-degree filtered cycle therefore extends in chunks of a few
+# columns per dispatch (each ~chunk*degree SpMVs) and runs the
+# projected-solve/rotation as its own program; the host pays ~1 ms of
+# relay latency per chunk — noise against multi-second chunks. ----
+
+
+def _hep_extend_body(op, V, H, j0, jend, key, *, ncv: int, passes: int):
+    """Extend columns [j0, jend) with full-CGS2 (the filtered driver's
+    policy); mirror of _hep_cycle_body's extension stage."""
+    vshape = V.shape[1:]
+    rdtype = jnp.zeros((), V.dtype).real.dtype
+    eps_mach = jnp.finfo(rdtype).eps
+    opmult = getattr(op, "mult2d", None) if len(vshape) == 2 else None
+    if opmult is None:
+        opmult = op.mult
+    opmask = getattr(op, "mask2d" if len(vshape) == 2 else "mask", None)
+    f64 = V.dtype == jnp.float64
+    red_axes = tuple(range(1, V.ndim))
+
+    def vdots(V, w):
+        if f64:
+            return jnp.sum(V.conj() * w[None], axis=red_axes)
+        return jnp.einsum("k...,...->k", V.conj(), w)
+
+    def vcomb(c, V):
+        if f64:
+            cb = c.reshape((-1,) + (1,) * (V.ndim - 1))
+            return jnp.sum(cb * V, axis=0)
+        return jnp.einsum("k,k...->...", c, V)
+
+    def body(j, state):
+        V, H = state
+        w = opmult(V[j])
+        mask = (jnp.arange(ncv + 1) < j + 1).astype(rdtype)
+        c = vdots(V, w) * mask
+        w = w - vcomb(c, V)
+        c_tot = c
+        for _ in range(passes - 1):
+            c2 = vdots(V, w) * mask
+            w = w - vcomb(c2, V)
+            c_tot = c_tot + c2
+        beta = jnp.linalg.norm(w)
+        is_brk = beta < eps_mach ** 0.75 * (jnp.linalg.norm(c_tot)
+                                            + eps_mach)
+
+        def mk_restart(_):
+            rnd = jax.random.normal(jax.random.fold_in(key, j), vshape,
+                                    rdtype).astype(V.dtype)
+            if opmask is not None:
+                rnd = rnd * opmask
+            rnd = rnd - vcomb(vdots(V, rnd) * mask, V)
+            rnd = rnd - vcomb(vdots(V, rnd) * mask, V)
+            return rnd, jnp.linalg.norm(rnd)
+
+        w, beta_eff = jax.lax.cond(is_brk, mk_restart,
+                                   lambda _: (w, beta), None)
+        safe = jnp.where(beta_eff > 0, beta_eff, 1.0)
+        V = V.at[j + 1].set(w / safe)
+        col = jnp.zeros((ncv + 1,), dtype=H.dtype).at[:ncv].set(
+            c_tot[:ncv])
+        col = jax.lax.dynamic_update_index_in_dim(
+            col, jnp.where(is_brk, 0.0, beta).astype(H.dtype), j + 1, 0)
+        H = H.at[:, j].set(col)
+        return V, H
+
+    V, H = jax.lax.fori_loop(j0, jend, body, (V, H))
+    return V, H
+
+
+def _hep_finish_body(V, H, tol, nlock, *, ncv: int, which: str,
+                     keep_den: int = 2, rot_mode: str = "exact",
+                     nrot: int = 0):
+    """Projected solve + convergence + restart rotation — mirror of
+    _hep_cycle_body's post-extension stage."""
+    beta = jnp.abs(H[ncv, ncv - 1])
+    S = H[:ncv, :ncv]
+    S = 0.5 * (S + S.conj().T)
+    theta, Q = eigh_small(S)
+    if which == "largest":
+        theta, Q = theta[::-1], Q[:, ::-1]
+    elif which == "largest_magnitude":
+        order = jnp.argsort(-jnp.abs(theta))
+        theta, Q = theta[order], Q[:, order]
+    last = Q[ncv - 1, :]
+    resid = beta * jnp.abs(last)
+    errest = resid / jnp.maximum(jnp.abs(theta), 1e-300)
+    conv = errest < tol
+    if rot_mode == "hybrid":
+        conv = jnp.logical_or(conv, jnp.arange(ncv) < nlock)
+    k2 = jnp.sum(jnp.cumprod(conv.astype(jnp.int32)))
+    nro = nrot if (nrot and nrot < ncv) else ncv
+    k2 = jnp.minimum(k2, nro - 1)
+    l = jnp.maximum(1, (ncv - k2) // keep_den)
+    l = jnp.minimum(l, jnp.maximum(ncv - k2 - 1, 0))
+    kl = jnp.minimum(k2 + l, nro - 1)
+    f64r = V.dtype == jnp.float64 and not jnp.iscomplexobj(Q)
+    if rot_mode == "hybrid" and f64r:
+        Vrot = _rotate_basis_hybrid(Q, V, ncv, nlock)
+        V = V.at[:ncv].set(Vrot)
+    elif rot_mode == "mixed" and f64r:
+        Vrot = _rotate_basis_mixed(Q, V, ncv)
+        V = V.at[:ncv].set(Vrot)
+    else:
+        Vrot = _rotate_basis(Q[:, :nro], V, ncv)
+        V = V.at[:nro].set(Vrot)
+    vres = V[ncv]
+    V = jax.lax.dynamic_update_index_in_dim(V, vres, kl, axis=0)
+    keep = (jnp.arange(ncv) < kl).astype(H.dtype)
+    Hnew = jnp.zeros_like(H)
+    Hnew = Hnew.at[jnp.arange(ncv), jnp.arange(ncv)].set(
+        theta.astype(H.dtype) * keep)
+    arrow = (beta * last).astype(H.dtype) * keep
+    Hnew = jax.lax.dynamic_update_slice(Hnew, arrow[None, :], (kl, 0))
+    return V, Hnew, kl, k2, theta, errest, beta
+
+
+def _hep_rotate_body(V, Q, kl, *, ncv: int):
+    """Restart rotation + residual-row move as its own device program
+    (the split cycle's third dispatch; Q may have < ncv columns =
+    truncated rotation)."""
+    nro = Q.shape[1]
+    Vrot = _rotate_basis(Q, V, ncv)
+    V = V.at[:nro].set(Vrot)
+    vres = V[ncv]
+    return jax.lax.dynamic_update_index_in_dim(V, vres, kl, axis=0)
+
+
+_hep_rotate_impl_don = jax.jit(_hep_rotate_body,
+                               static_argnames=("ncv",),
+                               donate_argnums=(0,))
+
+
+_hep_extend_impl_don = jax.jit(_hep_extend_body,
+                               static_argnames=("ncv", "passes"),
+                               donate_argnums=(1, 2))
+_hep_finish_impl_don = jax.jit(
+    _hep_finish_body,
+    static_argnames=("ncv", "which", "keep_den", "rot_mode", "nrot"),
+    donate_argnums=(0, 1))
+
+
 _hep_cycle_impl = jax.jit(_hep_cycle_body, static_argnames=_STATICS)
 # donating variant for production solve loops: V/H buffers are reused
 # in place, halving peak HBM (a 10M-row ncv=64 f64 basis is 5.4 GB; the
