@@ -473,8 +473,14 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
         spaced = stats["cycles"] - last_cert_cycle >= 3
         if (k2 >= m_t or early) and spaced:
             last_cert_cycle = stats["cycles"]
-            kc = min(k2, ncv - 1)  # use ALL locked rows: the subspace
-            # boundary then sits at the lock gap, not inside a cluster
+            # certified block: locked rows up to nev + boundary margin.
+            # (Using ALL locked rows put the boundary at the lock gap,
+            # but at flagship scale kc=47 rows of X next to V peaked
+            # 8.2 GB and OOMed busy-chip windows; the shifted-MINRES
+            # polish makes the wide boundary unnecessary.)
+            kc_cap = min(nev + max(m_extra or 6, 6) + 2, ncv - 1) \
+                if m_extra is not None else min(nev + 8, ncv - 1)
+            kc = min(k2, max(kc_cap, nev + 2), ncv - 1)
             # flagship-scale bases: certification+polish peak memory is
             # V + X + X' (~11.5 GB at 10.35M rows f64, OOMed the chip) —
             # drop the cycle basis first and make the cert terminal.
@@ -603,8 +609,11 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
     if result is None:
         # best effort (budget/cycle cap): certify + polish what's locked;
         # terminal, so the cycle basis is always dropped after the first
-        # Rayleigh-Ritz (peak-memory headroom for the polish rotations)
-        kc = max(min(k2, ncv - 1), 1)
+        # Rayleigh-Ritz (peak-memory headroom for the polish rotations);
+        # capped like the main cert branch (memory)
+        kc_cap = min(nev + max(m_extra or 6, 6) + 2, ncv - 1) \
+            if m_extra is not None else min(nev + 8, ncv - 1)
+        kc = max(min(k2, max(kc_cap, nev + 2), ncv - 1), 1)
         Vbox = [V]
         V = None
         o = None  # o[0] aliases V — must release both (see cert branch)
