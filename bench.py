@@ -772,7 +772,7 @@ def _flagship_cheb(out, budget_s, _log, nx, ny, nz, nev, tol, ncv):
                                           laplacian_3d_eigs)
 
     n = nx * ny * nz
-    degree = int(os.environ.get("BENCH_FLAGSHIP_DEG", "300"))
+    degree = int(os.environ.get("BENCH_FLAGSHIP_DEG", "450"))
     _log(f"flagship: {n/1e6:.2f}M rows 3-D Laplacian, k={nev}, tol={tol}, "
          f"ncv={ncv}, cheb degree={degree}, f64 double-single kernel")
     op = laplacian_3d_device(nx, ny, nz, dtype=np.float64)

@@ -38,6 +38,7 @@ def test_sharded_spmv_matches(row_mesh):
     np.testing.assert_allclose(y, As @ x, rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_eps_fast_path(row_mesh):
     """Jitted Krylov-Schur cycle with a sharded basis + operator.
 
@@ -78,6 +79,7 @@ def test_sharded_svd(row_mesh):
     np.testing.assert_allclose(svd.sigma[:3], s_ref[:3], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entry():
     """The driver-facing dry run compiles + executes on the virtual mesh."""
     import sys
