@@ -59,13 +59,15 @@ class _ShiftFactorCache:
         from ..mat.linop import DIAOperator
 
         A, B = self.eps.A, self.eps.B
-        if (isinstance(A, DIAOperator) and set(A.offsets) <= {-1, 0, 1}
+        if (isinstance(A, DIAOperator)
                 and not np.issubdtype(np.dtype(A.dtype),
                                       np.complexfloating)
                 and (B is None or (isinstance(B, DIAOperator)
                                    and B.offsets == (0,)))):
-            # keep the DIA/tridiagonal structure so DirectSolver routes
-            # to the on-device associative-scan LDL^T backend
+            # keep the DIA structure so DirectSolver routes tridiagonal
+            # (scan) / banded (block-tridiagonal scan) operators to the
+            # on-device LDL^T backends; anything else degrades to the
+            # host ldl/splu tier exactly as before
             dd = np.asarray(A.diags).copy()
             i0 = A.offsets.index(0)
             if B is None:

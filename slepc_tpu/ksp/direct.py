@@ -44,6 +44,11 @@ class DirectSolver:
                 # Python Sturm loop; the tier that lets spectrum slicing
                 # run its shift certificates at multi-million rows
                 backend = "tridiag_device"
+            elif self._is_btridiag_device():
+                # symmetric BANDED DIA (2-D Laplacian class): block-
+                # tridiagonal LDL^T scan on device with per-block
+                # inertia (ksp/tridiag_device.py btridiag_*)
+                backend = "btridiag_device"
             elif isinstance(A, (DIAOperator, AIJOperator)):
                 backend = "ldl" if self._is_symmetric_real() else "splu"
             else:
@@ -59,6 +64,19 @@ class DirectSolver:
         from .tridiag_device import tridiag_of_operator
 
         return tridiag_of_operator(self.A) is not None
+
+    def _is_btridiag_device(self) -> bool:
+        if not isinstance(self.A, DIAOperator):
+            return False
+        if np.issubdtype(self.dtype, np.complexfloating):
+            return False
+        try:
+            from .tridiag_device import btridiag_of_operator
+
+            self._btd_cache = btridiag_of_operator(self.A)
+        except Exception:
+            self._btd_cache = None
+        return self._btd_cache is not None
 
     def _is_symmetric_real(self) -> bool:
         if np.issubdtype(self.dtype, np.complexfloating):
@@ -82,6 +100,16 @@ class DirectSolver:
             a, b = tridiag_of_operator(self.A)
             self._td_a = jnp.asarray(a)
             self._td_b = jnp.asarray(b)
+            return
+        if self.backend == "btridiag_device":
+            from .tridiag_device import btridiag_of_operator
+
+            btd = getattr(self, "_btd_cache", None)
+            if btd is None:
+                btd = btridiag_of_operator(self.A)
+            Ab, Bb = btd
+            self._btd_A = jnp.asarray(Ab)
+            self._btd_B = jnp.asarray(Bb)
             return
         if self.backend == "ldl":
             from ..native.ldl import LDLFactorization, ldl_available
@@ -120,6 +148,12 @@ class DirectSolver:
             return tridiag_solve(self._td_a, self._td_b,
                                  jnp.zeros((), self._td_a.dtype),
                                  jnp.asarray(b, self._td_a.dtype))
+        if self.backend == "btridiag_device":
+            from .tridiag_device import btridiag_solve
+
+            bf = jnp.asarray(b, self._btd_A.dtype).reshape(-1)
+            return btridiag_solve(self._btd_A, self._btd_B,
+                                  jnp.zeros((), self._btd_A.dtype), bf)
         if self.backend == "dense":
             return jax.scipy.linalg.lu_solve((self._lu, self._piv), b)
         if self.backend == "ldl":
@@ -159,7 +193,7 @@ class DirectSolver:
         """Solve A^H x = b (needed by two-sided methods)."""
         if not self._factored:
             self._factor()
-        if self.backend in ("ldl", "tridiag_device"):
+        if self.backend in ("ldl", "tridiag_device", "btridiag_device"):
             return self.solve(b)  # symmetric factorization
         if self.backend == "dense":
             return jax.scipy.linalg.lu_solve((self._lu, self._piv), b, trans=2)
@@ -185,6 +219,14 @@ class DirectSolver:
 
             neg = int(_ti_dev(self._td_a, self._td_b,
                               jnp.zeros((), self._td_a.dtype)))
+            return neg, 0, self.n - neg
+        if self.backend == "btridiag_device":
+            if not self._factored:
+                self._factor()
+            from .tridiag_device import btridiag_inertia as _bti_dev
+
+            neg = int(_bti_dev(self._btd_A, self._btd_B,
+                               jnp.zeros((), self._btd_A.dtype)))
             return neg, 0, self.n - neg
         if isinstance(self.A, DIAOperator) and set(self.A.offsets) <= {-1, 0, 1}:
             d = np.asarray(self.A.diags[self.A.offsets.index(0)])

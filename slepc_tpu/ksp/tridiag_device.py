@@ -141,6 +141,150 @@ def tridiag_solve(a, b, sigma, rhs, refine: int = 1):
     return x[:, 0] if vec else x
 
 
+# ---------------------------------------------------------------------------
+# BLOCK-tridiagonal symmetric LDL^T on device: banded operators (e.g. the
+# 2-D Laplacian with bandwidth = side) viewed as block tridiagonal with
+# b x b blocks.  The block pivot recurrence
+#     D_i = A_i - B_{i-1}^T D_{i-1}^{-1} B_{i-1}
+# runs as ONE lax.scan over the m blocks (each step: b x b solve on the
+# MXU); inertia = sum of block inertias of the D_i (Sylvester congruence
+# of the block LDL^T), read off vmapped b x b eigendecompositions.
+# Solves are two more scans (block forward/backward substitution) + one
+# iterative-refinement step.  Reference role: the banded/sparse LDL^T
+# the slicing certificates delegate to MUMPS (stsles.c:35-59).
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def btridiag_pivots(Ab, Bb, sigma):
+    """Block pivots D_i of (T - sigma I).
+
+    Ab: (m, b, b) symmetric diagonal blocks; Bb: (m-1, b, b) with
+    T[i+1, i] block = Bb[i] (sub-diagonal).  Returns (m, b, b)."""
+    m, b, _ = Ab.shape
+    eye = jnp.eye(b, dtype=Ab.dtype)
+    Ash = Ab - sigma * eye[None]
+
+    def step(Dprev, inputs):
+        Ai, Bim1 = inputs
+        X = jnp.linalg.solve(Dprev, Bim1.T)  # D_{i-1}^{-1} B_{i-1}^T
+        Di = Ai - Bim1 @ X
+        return Di, Di
+
+    D1 = Ash[0]
+    _, Drest = jax.lax.scan(step, D1, (Ash[1:], Bb))
+    return jnp.concatenate([D1[None], Drest], axis=0)
+
+
+@jax.jit
+def btridiag_inertia(Ab, Bb, sigma):
+    """#eigenvalues of T strictly below sigma via block Sturm count:
+    sum over blocks of the negative eigenvalues of each D_i."""
+    D = btridiag_pivots(Ab, Bb, sigma)
+    D = 0.5 * (D + jnp.swapaxes(D, -1, -2))
+    w = jnp.linalg.eigvalsh(D)  # (m, b)
+    return jnp.sum((w < 0).astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("refine",))
+def btridiag_solve(Ab, Bb, sigma, rhs, refine: int = 1):
+    """x = (T - sigma I)^{-1} rhs; rhs (n,) with n = m*b.
+
+    Block LDL^T: forward substitution scan, block-diagonal solve,
+    backward scan; one refinement step restores sequential-level
+    accuracy."""
+    m, b, _ = Ab.shape
+    D = btridiag_pivots(Ab, Bb, sigma)
+    # L sub-blocks: L_i = B_i D_i^{-1}  (i = 0..m-2)
+    Lb = jnp.linalg.solve(jnp.swapaxes(D[:-1], -1, -2),
+                          jnp.swapaxes(Bb, -1, -2))
+    Lb = jnp.swapaxes(Lb, -1, -2)  # (m-1, b, b)
+    eye = jnp.eye(b, dtype=Ab.dtype)
+
+    def mv(X):
+        """(T - sigma I) @ x for flat x."""
+        Xb = X.reshape(m, b)
+        y = jnp.einsum("ijk,ik->ij", Ab - sigma * eye[None], Xb)
+        y = y.at[1:].add(jnp.einsum("ijk,ik->ij", Bb, Xb[:-1]))
+        y = y.at[:-1].add(jnp.einsum("ikj,ik->ij",
+                                     Bb, Xb[1:]))
+        return y.reshape(-1)
+
+    def ldl_solve(Rf):
+        Rb = Rf.reshape(m, b)
+
+        def fwd(yprev, inputs):
+            ri, Li = inputs
+            yi = ri - Li @ yprev
+            return yi, yi
+
+        y1 = Rb[0]
+        _, yrest = jax.lax.scan(fwd, y1, (Rb[1:], Lb))
+        y = jnp.concatenate([y1[None], yrest], axis=0)
+        z = jnp.linalg.solve(D, y[..., None])[..., 0]
+
+        def bwd(xnext, inputs):
+            zi, Li = inputs
+            xi = zi - Li.T @ xnext
+            return xi, xi
+
+        xm = z[-1]
+        _, xrest = jax.lax.scan(bwd, xm, (z[:-1][::-1], Lb[::-1]))
+        x = jnp.concatenate([xrest[::-1], xm[None]], axis=0)
+        return x.reshape(-1)
+
+    x = ldl_solve(rhs)
+    for _ in range(refine):
+        x = x + ldl_solve(rhs - mv(x))
+    return x
+
+
+def btridiag_of_operator(op, max_bw: int = 512):
+    """Extract (Ablocks, Bblocks) when ``op`` is a symmetric banded
+    DIAOperator with bandwidth <= max_bw and n divisible into b-blocks;
+    None otherwise.  Block size b = bandwidth (the largest |offset|)."""
+    from ..mat.linop import DIAOperator
+    import scipy.sparse as sp
+
+    if not isinstance(op, DIAOperator):
+        return None
+    offs = tuple(op.offsets)
+    if not offs or set(offs) <= {-1, 0, 1}:
+        return None  # plain tridiagonal handles this
+    bw = max(abs(o) for o in offs)
+    if bw > max_bw or bw < 2:
+        return None
+    n = op.shape[0]
+    if n % bw != 0 or n // bw < 2:
+        return None
+    dd = np.asarray(op.diags)
+    if np.issubdtype(dd.dtype, np.complexfloating):
+        return None
+    # DIAOperator convention: y[i] += diags[d][i] * x[i+offset] ->
+    # A[i, i+o] = diags[d][i]; rebuild exactly:
+    rows, cols, vals = [], [], []
+    for i, o in enumerate(offs):
+        idx = np.arange(max(0, -o), n - max(0, o))
+        rows.append(idx)
+        cols.append(idx + o)
+        vals.append(dd[i][idx])
+    A = sp.csr_matrix((np.concatenate(vals),
+                       (np.concatenate(rows), np.concatenate(cols))),
+                      shape=(n, n))
+    if abs(A - A.T).max() > 1e-12 * max(abs(A).max(), 1e-300):
+        return None
+    m = n // bw
+    Ab = np.zeros((m, bw, bw))
+    Bb = np.zeros((m - 1, bw, bw))
+    Al = A.tolil()
+    for i in range(m):
+        Ab[i] = Al[i * bw:(i + 1) * bw, i * bw:(i + 1) * bw].toarray()
+        if i + 1 < m:
+            Bb[i] = Al[(i + 1) * bw:(i + 2) * bw,
+                       i * bw:(i + 1) * bw].toarray()
+    return Ab, Bb
+
+
 class TridiagLDLDevice:
     """Factor-per-shift facade over the scanned kernels, mirroring the
     host DirectSolver surface that slicing consumes (ksp/direct.py):
