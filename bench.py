@@ -451,13 +451,15 @@ def main():
             ng = 1 << 20
             # well-separated smallest eigenvalues (three detached
             # outliers) so both loops converge within the budget and the
-            # A/B compares wall-clock at equal work
-            # spread kept small: the f32 residual floor is ~eps*||A||,
-            # so tol must sit above it (1e-4 * lambda_1 ~ 2.6e-5 abs)
-            dg = np.linspace(10.0, 30.0, ng).astype(np.float32)
+            # A/B compares wall-clock at equal work.  f64: under REAL GD
+            # (the r5 solver= fix) the f32 residual floor left the fused
+            # cycle at nconv=0 after 200 cycles and degenerated the host
+            # Gram — the A/B's subject is fused-vs-host orchestration
+            # cost, not f32 stress
+            dg = np.linspace(10.0, 30.0, ng).astype(np.float64)
             dg[:3] = [1.0, 2.0, 3.0]
-            lo = np.zeros(ng, np.float32)
-            hi = np.zeros(ng, np.float32)
+            lo = np.zeros(ng, np.float64)
+            hi = np.zeros(ng, np.float64)
             hi[:-1] = -1.0
             lo[1:] = -1.0
             Ag = DIAOperator((-1, 0, 1), np.stack([lo, dg, hi]))
@@ -471,7 +473,7 @@ def main():
                 for attempt in (0, 1):
                     epsg = stt.EPS(Ag, problem_type="hep",
                                    which=_W.SMALLEST_REAL, nev=3, ncv=24,
-                                   max_it=200 if fused else 120, tol=1e-4,
+                                   max_it=200 if fused else 120, tol=1e-6,
                                    solver="gd")
                     epsg.set_st(STPrecond([Ag]))
                     epsg.gd_fused = fused

@@ -174,8 +174,17 @@ class _Davidson(EPSSolver):
                 G = np.asarray(Vj.conj().T @ AV)
                 M = np.asarray(Vj.conj().T @ BV)
                 if hermitian:
-                    w, C = sla.eigh(0.5 * (G + G.conj().T),
-                                    0.5 * (M + M.conj().T))
+                    Ms = 0.5 * (M + M.conj().T)
+                    try:
+                        w, C = sla.eigh(0.5 * (G + G.conj().T), Ms)
+                    except sla.LinAlgError:
+                        # f32 basis drift can push the Gram indefinite
+                        # (observed on TPU at tight subspaces): ridge it
+                        # back to SPD instead of killing the solve
+                        ridge = 1e-6 * max(np.trace(Ms).real
+                                           / max(len(Ms), 1), 1e-30)
+                        w, C = sla.eigh(0.5 * (G + G.conj().T),
+                                        Ms + ridge * np.eye(len(Ms)))
                     w = w.astype(complex)
                 else:
                     w, C = sla.eig(G, M)
