@@ -575,6 +575,11 @@ def main():
                 done_fs = True
             except Exception as e:
                 _log(f"flagship (ncv={ncv_try}) failed: {e!r}")
+                # shared-chip memory pressure is often transient: give
+                # the other tenant a moment before the smaller retry
+                if "RESOURCE_EXHAUSTED" in repr(e) and _remaining() > 900:
+                    _log("flagship: waiting 45 s for chip memory...")
+                    time.sleep(45)
             # collect OUTSIDE the except handler: the live traceback pins
             # the failed attempt's multi-GB basis until the handler exits
             gc.collect()
@@ -584,11 +589,18 @@ def main():
     # fused into the KS cycle (VERDICT r3 item 5) ----
     if on_tpu and os.environ.get("BENCH_SINVERT_TPU", "1") != "0" \
             and _remaining() > 180:
-        try:
-            _sinvert_tpu(out, _log,
-                         budget_s=min(600.0, _remaining() - 120.0))
-        except Exception as e:
-            _log(f"sinvert_tpu failed: {e!r}")
+        for attempt in (0, 1):
+            try:
+                _sinvert_tpu(out, _log,
+                             budget_s=min(600.0, _remaining() - 120.0))
+                break
+            except Exception as e:
+                _log(f"sinvert_tpu failed: {e!r}")
+                if (attempt == 0 and "RESOURCE_EXHAUSTED" in repr(e)
+                        and _remaining() > 400):
+                    time.sleep(45)
+                else:
+                    break
         import gc as _gc
 
         _gc.collect()
@@ -598,10 +610,17 @@ def main():
     # operator as two real planes, Arnoldi/KS cycles jitted on device ----
     if on_tpu and os.environ.get("BENCH_NHEP_TPU", "1") != "0" \
             and _remaining() > 150:
-        try:
-            _nhep_split_tpu(out, _log)
-        except Exception as e:
-            _log(f"nhep_split_tpu failed: {e!r}")
+        for attempt in (0, 1):
+            try:
+                _nhep_split_tpu(out, _log)
+                break
+            except Exception as e:
+                _log(f"nhep_split_tpu failed: {e!r}")
+                if (attempt == 0 and "RESOURCE_EXHAUSTED" in repr(e)
+                        and _remaining() > 300):
+                    time.sleep(45)
+                else:
+                    break
         _emit("nhep_tpu")
 
     # ---- host-orchestrated module families: one TPU wall-clock +
