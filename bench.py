@@ -1015,37 +1015,47 @@ def _module_timings(out, _log):
     """Host-orchestrated solver families: NLEIGS on a 100k-row split-form
     delay problem, PEP-TOAR on a 250k-row quadratic.  These loops
     dispatch per step and solve projected problems on host — the numbers
-    bound that cost (they are NOT fused fast paths).  Event counts stand
-    in for dispatch counts.
+    bound that cost (they are NOT fused fast paths).
 
-    Runs on the CPU BACKEND, recorded as ``modules_backend``: both
-    problems are complex-arithmetic (damped quadratic -> conjugate
-    pairs; ellipse-region Leja-Bagby -> complex nodes) and the axon TPU
-    PJRT rejects C128 outright ("Element type C128 is not supported on
-    TPU" — the r4 full-bench runs burned 28 min in compile retries
-    before failing).  The host-orchestration overhead being bounded here
-    is backend-independent."""
-    import jax
-    import numpy as np
+    Runs in a SUBPROCESS on a fresh CPU-platform interpreter with a hard
+    timeout: (a) both problems are complex-arithmetic and the axon PJRT
+    rejects C128; (b) the in-process jax.default_device(cpu) dance under
+    the axon platform was observed to HANG indefinitely (r5 rehearsal) —
+    a stuck stage must never eat the bench deadline."""
+    import subprocess
 
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "import json, bench\n"
+        "o = {}\n"
+        "bench._module_timings_inproc(o, bench._log)\n"
+        "print('MODOUT ' + json.dumps(o))\n")
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=420, cwd=os.path.dirname(os.path.abspath(__file__)))
+        for ln in r.stderr.splitlines()[-12:]:
+            _log(f"modules| {ln}")
+        for ln in r.stdout.splitlines():
+            if ln.startswith("MODOUT "):
+                out.update(json.loads(ln[len("MODOUT "):]))
+                break
+        else:
+            _log(f"module timings: no result (rc={r.returncode})")
+    except subprocess.TimeoutExpired:
+        _log("module timings: subprocess timed out (420 s)")
+    out.setdefault("modules_backend", "cpu subprocess")
+
+
+def _module_timings_inproc(out, _log):
     import slepc_tpu as stt
     from slepc_tpu.mat.generators import laplacian_2d
     from slepc_tpu.mat.linop import DIAOperator
     from slepc_tpu.sys import events
 
-    try:
-        cpu = jax.devices("cpu")[0]
-    except Exception:
-        _log("module timings: no cpu backend available")
-        return
-    out["modules_backend"] = "cpu (axon TPU rejects C128)"
-    ctx = jax.default_device(cpu)
-    ctx.__enter__()
-    try:
-        _module_timings_body(out, _log, stt, laplacian_2d, DIAOperator,
-                             events)
-    finally:
-        ctx.__exit__(None, None, None)
+    out["modules_backend"] = "cpu subprocess (axon rejects C128)"
+    _module_timings_body(out, _log, stt, laplacian_2d, DIAOperator,
+                         events)
 
 
 def _module_timings_body(out, _log, stt, laplacian_2d, DIAOperator,
@@ -1053,8 +1063,10 @@ def _module_timings_body(out, _log, stt, laplacian_2d, DIAOperator,
     import numpy as np
 
     # NEP / NLEIGS: 1-D delay problem  T(lam) = -lam I + A0 + e^-lam A1
+    # (10k rows: ~40 s solo on CPU; the old 100k config never completed
+    # inside any recorded bench)
     try:
-        n = 100_000
+        n = 10_000
         h = np.pi / (n + 1)
         main = np.full(n, -2.0 / (h * h))
         offd = np.zeros(n)
@@ -1089,9 +1101,9 @@ def _module_timings_body(out, _log, stt, laplacian_2d, DIAOperator,
     except Exception as e:
         _log(f"nleigs timing failed: {e!r}")
 
-    # PEP / TOAR: 250k-row damped quadratic (K + lam C + lam^2 M) x = 0
+    # PEP / TOAR: 90k-row damped quadratic (K + lam C + lam^2 M) x = 0
     try:
-        side = 500
+        side = 300
         n2 = side * side
         K = laplacian_2d(side, side, dtype=np.float64)
         tau = 0.1 + 0.05 * np.sin(np.arange(n2) * 1e-2)
