@@ -512,9 +512,20 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
                 # of exactly this)
                 V = None
                 o = None
-            tau_np, rel, X, nok = _certify(op, Vbox, kc, nev, tol, hi,
-                                           stats, log, drop=drop,
-                                           orthonormalize=reorth != "full")
+            try:
+                tau_np, rel, X, nok = _certify(
+                    op, Vbox, kc, nev, tol, hi, stats, log, drop=drop,
+                    orthonormalize=reorth != "full")
+            except Exception as ce:
+                # tight-memory windows: V + X at kc rows can tip over —
+                # retry once with the minimal certified block
+                kc2 = min(kc, nev + 4)
+                log(f"cheb: certification failed at kc={kc} ({ce!r}); "
+                    f"retrying with kc={kc2}")
+                tau_np, rel, X, nok = _certify(
+                    op, Vbox, kc2, nev, tol, hi, stats, log, drop=drop,
+                    orthonormalize=reorth != "full")
+                kc = kc2
             if nok >= nev or drop:
                 # terminal either way when the basis was dropped: the
                 # filtered cycles cannot resume without it
@@ -617,9 +628,18 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
         Vbox = [V]
         V = None
         o = None  # o[0] aliases V — must release both (see cert branch)
-        tau_np, rel, X, nok = _certify(op, Vbox, kc, nev, tol, hi, stats,
-                                       log, drop=True,
-                                       orthonormalize=reorth != "full")
+        try:
+            tau_np, rel, X, nok = _certify(
+                op, Vbox, kc, nev, tol, hi, stats, log, drop=True,
+                orthonormalize=reorth != "full")
+        except Exception as ce:
+            kc2 = min(kc, nev + 4)
+            log(f"cheb: certification failed at kc={kc} ({ce!r}); "
+                f"retrying with kc={kc2}")
+            tau_np, rel, X, nok = _certify(
+                op, Vbox, kc2, nev, tol, hi, stats, log, drop=True,
+                orthonormalize=reorth != "full")
+            kc = kc2
         result = {"lam": tau_np[: min(kc, nev)],
                   "resid": rel[: min(kc, nev)], "X": X,
                   "lam_all": tau_np, "resid_all": rel}
