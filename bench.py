@@ -567,7 +567,7 @@ def main():
         # descending ncv fallbacks: the shared chip's free memory swings
         # with other tenants; 64->48->40 rows = 5.4->4.1->3.4 GB bases
         ncv_env = int(os.environ.get("BENCH_FLAGSHIP_NCV", "48"))
-        for ncv_try in dict.fromkeys((ncv_env, 48, 40)):
+        for ncv_try in dict.fromkeys((ncv_env, 48, 40, 32)):
             if done_fs:
                 break
             try:

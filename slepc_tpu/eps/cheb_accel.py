@@ -683,6 +683,11 @@ def _certify(op, Vbox, kc: int, nev: int, tol: float, hi: float, stats,
             gc.collect()
         V = Vq
     tau, res, X = _rr_refine(op, V, k=kc)
+    # FORCE execution before releasing the basis: the jit returns lazy
+    # arrays, so an OOM would otherwise surface later at np.asarray —
+    # after Vbox[0] was already cleared, killing the caller's
+    # smaller-kc retry (r5 bench: retry crashed on a None basis)
+    jax.block_until_ready(res)
     del V
     if drop:
         Vbox[0] = None
