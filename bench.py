@@ -549,6 +549,12 @@ def main():
         except NameError:
             pass
         del spmv_loop, op_b, mult  # mult is a bound method: holds op_b
+        # the kernel-stage DIA containers keep device diagonals alive
+        # (A.dp + A.diags ~340 MB f32, A64.diags ~200 MB f64)
+        try:
+            del A, A64
+        except NameError:
+            pass
         try:
             del ds_loop  # partial over the f64-DS operator (~400 MB)
         except NameError:
