@@ -959,8 +959,14 @@ def _nhep_split_tpu(out, _log):
     n = 1 << 20
     rng = np.random.default_rng(5)
     th = np.linspace(0, 4 * np.pi, n)
-    r = np.linspace(0.5, 3.0, n)
+    r = np.linspace(0.5, 2.0, n)
     d = (r * np.exp(1j * th)).astype(np.complex64)
+    # detached top-magnitude outliers (3% gaps): the bulk spiral's
+    # top-|lambda| spacing shrinks like 1/n, unresolvable in f32 at 1M
+    kout = 8
+    d[:kout] = (np.linspace(3.0, 2.4, kout)
+                * np.exp(1j * np.linspace(0.3, 5.5, kout))
+                ).astype(np.complex64)
     off = 0.05 * (rng.standard_normal(n)
                   + 1j * rng.standard_normal(n)).astype(np.complex64)
     lo = np.zeros(n, np.complex64)
@@ -1001,7 +1007,7 @@ def _nhep_split_tpu(out, _log):
         out["nhep_tpu_host_resid"] = worst
         out["nhep_tpu_eig_relerr"] = worst
         out["nhep_tpu_in_top_band"] = bool(all(
-            abs(complex(res["lam"][i])) > 0.9 * float(np.abs(d).max())
+            abs(complex(res["lam"][i])) > 0.75 * float(np.abs(d).max())
             for i in range(nev)))
     except Exception as e:
         _log(f"nhep_tpu host reference failed: {e!r}")

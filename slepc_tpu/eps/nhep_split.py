@@ -42,6 +42,9 @@ def _arnoldi_split_extend(op, V, Hr, Hi, j0, key, *, ncv: int):
     eps_mach = jnp.finfo(rdt).eps
     mask_planes = op.mask_planes
 
+    hp = jax.lax.Precision.HIGHEST  # f32 default einsums run bf16
+    # passes on TPU (~6e-3 error) — measured as a 4e-3 residual floor
+
     def cdots(V, w, mask):
         """c_k = <V_k, w> complex = conj(V_k)^T w on split planes."""
         cr = jnp.sum(V[:, 0] * w[0][None] + V[:, 1] * w[1][None],
@@ -52,10 +55,10 @@ def _arnoldi_split_extend(op, V, Hr, Hi, j0, key, *, ncv: int):
 
     def cupdate(V, cr, ci, w):
         """w - sum_k c_k V_k on split planes."""
-        wr = w[0] - jnp.einsum("k,k...->...", cr, V[:, 0]) \
-            + jnp.einsum("k,k...->...", ci, V[:, 1])
-        wi = w[1] - jnp.einsum("k,k...->...", cr, V[:, 1]) \
-            - jnp.einsum("k,k...->...", ci, V[:, 0])
+        wr = w[0] - jnp.einsum("k,k...->...", cr, V[:, 0], precision=hp) \
+            + jnp.einsum("k,k...->...", ci, V[:, 1], precision=hp)
+        wi = w[1] - jnp.einsum("k,k...->...", cr, V[:, 1], precision=hp) \
+            - jnp.einsum("k,k...->...", ci, V[:, 0], precision=hp)
         return jnp.stack([wr, wi])
 
     def body(j, state):
@@ -101,11 +104,12 @@ def _rotate_split(V, Qr, Qi, src, dst, *, ncv: int):
     """Rows[:ncv] <- (Qr + i Qi)^T-combine (complex BVMultInPlace), then
     move the residual row from ``src`` to ``dst``.  Q is (ncv, ncv) with
     columns past the keep count zeroed by the host."""
+    hp = jax.lax.Precision.HIGHEST
     Vr, Vi = V[:ncv, 0], V[:ncv, 1]
-    nr = jnp.einsum("kp,k...->p...", Qr, Vr) \
-        - jnp.einsum("kp,k...->p...", Qi, Vi)
-    ni = jnp.einsum("kp,k...->p...", Qr, Vi) \
-        + jnp.einsum("kp,k...->p...", Qi, Vr)
+    nr = jnp.einsum("kp,k...->p...", Qr, Vr, precision=hp) \
+        - jnp.einsum("kp,k...->p...", Qi, Vi, precision=hp)
+    ni = jnp.einsum("kp,k...->p...", Qr, Vi, precision=hp) \
+        + jnp.einsum("kp,k...->p...", Qi, Vr, precision=hp)
     V = V.at[:ncv].set(jnp.stack([nr, ni], axis=1))
     vres = V[src]
     return jax.lax.dynamic_update_index_in_dim(V, vres, dst, axis=0)
