@@ -843,13 +843,17 @@ def _flagship_cheb(out, budget_s, _log, nx, ny, nz, nev, tol, ncv):
     # are overwritten by the next extension): ncv=64/nrot=48 pays 3/4 of
     # the f64-emulated rotation while gaining 64-deep restarts
     nrt = int(os.environ.get("BENCH_FLAGSHIP_NROT", "40"))
-    # restart rotation precision: 'exact' (f64-emulated matmul).  The
-    # 7x-faster mixed (f32-planes) rotation was measured and REJECTED:
-    # its ~3e-7 per-restart noise floors the filtered lock tolerance and
-    # compounds across window adaptations until locked rows stop being
-    # eigenvectors (2.1M validation: nconv 0, NaN windows) — the
-    # lock-and-adapt architecture needs the exact rotation.
-    rmode = os.environ.get("BENCH_FLAGSHIP_ROT", "exact")
+    # restart rotation precision: 'ds' = the double-single Pallas
+    # kernel (ops/rotate_pallas.py) — 5.5-17x the XLA f64-emulated
+    # matmul in-process across windows (43 vs 242 ms steady-state at a
+    # 48x40 rotation of a 0.81 GB basis; 33 vs 563 in a clean window)
+    # at ~1.5e-14 per-restart error, validated through the lock-and-
+    # adapt driver (tests/test_round5.py).  The 7x-faster mixed
+    # (f32-planes) rotation stays REJECTED: its ~3e-7 noise floors the
+    # filtered lock tolerance (2.1M validation: nconv 0, NaN windows);
+    # DS sits 7 orders below that, at the basis' own DS-SpMV floor.
+    # 'exact' (chunked f64-emulated matmul) remains the fallback knob.
+    rmode = os.environ.get("BENCH_FLAGSHIP_ROT", "ds")
     out["ks_tpu_block"] = blk
     out["ks_tpu_reorth"] = reo
     out["ks_tpu_keep_den"] = kd

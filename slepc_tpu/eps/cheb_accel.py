@@ -391,7 +391,8 @@ def ks_cheb_smallest(op, nev: int, tol: float, ncv: int = 48,
             kl = min(k2 + l, nro_s - 1)
             V = _hep_rotate_impl_don(
                 V, jnp.asarray(Q[:, :nro_s]),
-                jnp.asarray(np.int32(kl)), ncv=ncv)
+                jnp.asarray(np.int32(kl)), ncv=ncv,
+                rot_mode=rot_mode)
             Hn = np.zeros_like(Hh)
             keepm = np.arange(ncv) < kl
             Hn[np.arange(ncv), np.arange(ncv)] = theta * keepm

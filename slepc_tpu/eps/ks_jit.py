@@ -82,7 +82,8 @@ def get_ks_hep_cycle(op, key, ncv: int, which: str = "smallest",
 def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
                  passes: int = 2, reorth_period: int = 1,
                  reorth: str = "full", nlock=0, nsel: int = 0,
-                 orth: str = "auto"):
+                 orth: str = "auto", keep_den: int = 2,
+                 rot_mode: str = "exact", nrot: int = 0):
     """One Krylov-Schur(HEP) restart cycle.
 
     Args:
@@ -105,7 +106,8 @@ def ks_hep_cycle(op, V, H, j0, tol, key, ncv: int, which: str = "smallest",
     return _hep_cycle_impl(op, V, H, j0, tol, key, jnp.asarray(nlock),
                            ncv=ncv, which=which, passes=passes,
                            reorth_period=reorth_period, reorth=reorth,
-                           nsel=nsel, orth=orth)
+                           nsel=nsel, orth=orth, keep_den=keep_den,
+                           rot_mode=rot_mode, nrot=nrot)
 
 
 
@@ -147,6 +149,19 @@ def _rotate_basis(Q, V, ncv: int):
         return jax.lax.dynamic_update_slice_in_dim(out, Oc, start, axis=1)
 
     return jax.lax.fori_loop(0, nch, body, out)
+
+
+def _rotate_basis_ds(Q, V, ncv: int):
+    """rot_mode="ds": the restart rotation as a double-single Pallas
+    kernel (ops/rotate_pallas.py) — all split products stay in VMEM, so
+    none of the XLA f64-emulation (8, ...) HBM temporaries exist.
+    ~1e-14 rel accuracy (vs ~1e-7 for the f32-plane modes — inside the
+    tol_b=1e-13 locking floor).  Interpret mode on non-TPU backends
+    keeps CPU tests on the identical code path."""
+    from ..ops.rotate_pallas import rotate_basis_ds
+
+    return rotate_basis_ds(Q.astype(V.dtype), V[:ncv],
+                           interpret=jax.default_backend() != "tpu")
 
 
 # ---- chunked panel primitives for LARGE f64 blocked cycles ------------
@@ -609,6 +624,9 @@ def _hep_cycle_body(op, V, H, j0, tol, key, nlock, *, ncv: int, which: str,
         elif rot_mode == "mixed" and f64r:
             Vrot = _rotate_basis_mixed(Q, V, ncv)
             V = V.at[:ncv].set(Vrot)
+        elif rot_mode == "ds" and f64r and V.ndim == 3:
+            Vrot = _rotate_basis_ds(Q[:, :nro], V, ncv)
+            V = V.at[:nro].set(Vrot)
         else:
             Vrot = _rotate_basis(Q[:, :nro], V, ncv)
             V = V.at[:nro].set(Vrot)
@@ -733,6 +751,9 @@ def _hep_finish_body(V, H, tol, nlock, *, ncv: int, which: str,
     elif rot_mode == "mixed" and f64r:
         Vrot = _rotate_basis_mixed(Q, V, ncv)
         V = V.at[:ncv].set(Vrot)
+    elif rot_mode == "ds" and f64r and V.ndim == 3:
+        Vrot = _rotate_basis_ds(Q[:, :nro], V, ncv)
+        V = V.at[:nro].set(Vrot)
     else:
         Vrot = _rotate_basis(Q[:, :nro], V, ncv)
         V = V.at[:nro].set(Vrot)
@@ -747,19 +768,23 @@ def _hep_finish_body(V, H, tol, nlock, *, ncv: int, which: str,
     return V, Hnew, kl, k2, theta, errest, beta
 
 
-def _hep_rotate_body(V, Q, kl, *, ncv: int):
+def _hep_rotate_body(V, Q, kl, *, ncv: int, rot_mode: str = "exact"):
     """Restart rotation + residual-row move as its own device program
     (the split cycle's third dispatch; Q may have < ncv columns =
     truncated rotation)."""
     nro = Q.shape[1]
-    Vrot = _rotate_basis(Q, V, ncv)
+    if (rot_mode == "ds" and V.dtype == jnp.float64
+            and not jnp.iscomplexobj(Q) and V.ndim == 3):
+        Vrot = _rotate_basis_ds(Q, V, ncv)
+    else:
+        Vrot = _rotate_basis(Q, V, ncv)
     V = V.at[:nro].set(Vrot)
     vres = V[ncv]
     return jax.lax.dynamic_update_index_in_dim(V, vres, kl, axis=0)
 
 
 _hep_rotate_impl_don = jax.jit(_hep_rotate_body,
-                               static_argnames=("ncv",),
+                               static_argnames=("ncv", "rot_mode"),
                                donate_argnums=(0,))
 
 
