@@ -62,7 +62,8 @@ def _resolve_orth(op, orth: str) -> str:
 def get_ks_hep_cycle(op, key, ncv: int, which: str = "smallest",
                      passes: int = 2, reorth_period: int = 1,
                      reorth: str = "full", nsel: int = 0, orth: str = "auto",
-                     donate: bool = False):
+                     donate: bool = False, keep_den: int = 2,
+                     rot_mode: str = "exact", nrot: int = 0):
     """Restart cycle bound to ``op``; call as ``cycle(V, H, j0, tol,
     nlock=0)``.  The underlying jitted program caches on shapes/statics.
     donate=True reuses the V/H input buffers in place (production solve
@@ -74,7 +75,8 @@ def get_ks_hep_cycle(op, key, ncv: int, which: str = "smallest",
         return impl(op, V, H, j0, tol, key, jnp.asarray(nlock),
                     ncv=ncv, which=which, passes=passes,
                     reorth_period=reorth_period, reorth=reorth,
-                    nsel=nsel, orth=orth)
+                    nsel=nsel, orth=orth, keep_den=keep_den,
+                    rot_mode=rot_mode, nrot=nrot)
 
     return cycle
 
@@ -1227,7 +1229,10 @@ def ks_hep_solve(eps, op, which: str, Bip=None) -> bool:
             rmode = "partial"
         cycle_fn = get_ks_hep_cycle(
             op, key, ncv, which,
-            reorth_period=getattr(eps, "reorth_period", 1), reorth=rmode)
+            reorth_period=getattr(eps, "reorth_period", 1), reorth=rmode,
+            # eps.rot_mode="ds" routes f64 padded restarts through the
+            # double-single Pallas rotation (ops/rotate_pallas.py)
+            rot_mode=getattr(eps, "rot_mode", "exact"))
 
     while eps.its < eps.max_it:
         eps.its += 1
