@@ -398,6 +398,55 @@ def main():
     except Exception as e:
         _log(f"blocked cycle failed: {e!r}")
 
+    # ---- f64 restart-rotation A/B: DS Pallas kernel vs XLA emulation
+    # (the r5-continuation lever; records the flagship rotation tier's
+    # in-window ratio machine-readably).  NOTE the first warm execution
+    # of a fresh executable through the relay can read ~15x slow
+    # (executable page-in) — two warm reps, min taken. ----
+    if on_tpu and _remaining() > 600:
+        try:
+            import slepc_tpu.ops.rotate_pallas as _rp
+            from slepc_tpu.eps.ks_jit import _rotate_basis as _rot_xla
+
+            Kr, Pr, Rr = 48, 40, 2048
+            keyr = jax.random.PRNGKey(7)
+            Vr64 = jax.random.normal(keyr, (Kr, Rr, LANES), jnp.float64)
+            Qr = jnp.asarray(np.linalg.qr(np.random.default_rng(7)
+                             .standard_normal((Kr, Kr)))[0][:, :Pr])
+            NITR = 4
+
+            def _rot_chain(rot):
+                def body(i, Vc):
+                    o = rot(Qr, Vc)
+                    return Vc.at[:Pr].set(o * np.float64(0.9999)) \
+                             .at[0, 0, 0].add(1e-9 * (i + 1))
+                return jax.jit(
+                    lambda Vc: jax.lax.fori_loop(0, NITR, body, Vc))
+
+            def _rot_time(f):
+                float(f(Vr64)[0, 0, 0])  # compile + first (slow) exec
+                ts = []
+                for r in range(2):
+                    t0 = time.perf_counter()
+                    o = f(Vr64.at[0, 0, 0].add((r + 1) * 1e-7))
+                    float(o[0, 0, 0])
+                    ts.append((time.perf_counter() - t0) / NITR)
+                return min(ts)
+
+            t_ds = _rot_time(_rot_chain(
+                lambda q, v: _rp.rotate_basis_ds(q, v)))
+            t_xl = _rot_time(_rot_chain(
+                lambda q, v: _rot_xla(q, v, Kr)))
+            out["rot_ds_ms"] = t_ds * 1e3
+            out["rot_xla_f64_ms"] = t_xl * 1e3
+            out["rot_ds_speedup"] = t_xl / t_ds
+            _log(f"rotation A/B (48x40 x {Rr}x{LANES} f64): "
+                 f"ds {t_ds*1e3:.1f} ms vs xla {t_xl*1e3:.1f} ms "
+                 f"({t_xl/t_ds:.1f}x)")
+            del Vr64
+        except Exception as e:
+            _log(f"rotation A/B failed: {e!r}")
+
     # ---- second SpMV pass (window hedge) ----
     dt2, sus2 = _timeit_chain(spmv_loop, x, ITERS)
     dt = min(dt1, dt2)
